@@ -20,8 +20,17 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic synthetic web (the input_hint pages
+    table, generated at sf0.001-ish scale) -> HTTP parse -> HTML link/text
+    extraction, as a Ray Data map_batches pipeline; returns the summary
+    Dataset (url, status, lang, text_len, n_links)."""
+    from larbin_ray.config import CrawlConfig
+    from larbin_ray.pipelines.extract import extract_summary, from_table
+    from larbin_ray.sources.synthweb import gen_web
+
+    web = gen_web(240, 12, seed=42)
+    return extract_summary(from_table(web, 8), CrawlConfig(),
+                           concurrency=2, batch_size=64)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

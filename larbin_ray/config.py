@@ -1,0 +1,106 @@
+"""Crawl configuration.
+
+Mirrors the reference's config surface (keys + code defaults from
+/root/reference/src/global.cxx:69-119 initializers and 157-166 standard
+values; config keys parsed at global.cxx:250-418).  The shipped
+``larbin.conf`` profile differs from code defaults (depthBySite on,
+waitDuration 60, 100 connections); :func:`CrawlConfig.larbin_conf_profile`
+reproduces it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# forbiddenExtensions block of /root/reference/larbin.conf (lowercased at
+# parse time, global.cxx:441-458).
+DEFAULT_FORBIDDEN_EXTENSIONS: tuple[str, ...] = (
+    ".tar", ".gz", ".tgz", ".zip", ".z", ".rpm", ".deb",
+    ".ps", ".dvi", ".pdf",
+    ".png", ".jpg", ".jpeg", ".bmp", ".smi", ".tiff", ".gif",
+    ".mov", ".avi", ".mpeg", ".mpg", ".mp3", ".qt", ".wav", ".ram", ".rm",
+    ".jar", ".java", ".class", ".diff",
+    ".doc", ".xls", ".ppt", ".mdb", ".rtf", ".exe", ".pps", ".so", ".psd",
+)
+
+# Hard capacity constants, reference src/types.h.
+HASH_SIZE = 64_000_000        # types.h:26 — URL-seen bitset size (bits)
+DUP_SIZE = HASH_SIZE          # types.h:31
+NAMED_SITE_LIST_SIZE = 20_000  # types.h:35 — modulus of hostHashCode
+MAX_URLS_BY_SITE = 64         # types.h:43 — per-host RAM ring
+MAX_URL_SIZE = 1024           # types.h:76
+MAX_SITE_SIZE = 256           # types.h:77
+MAX_PAGE_SIZE = 8 * 1024 * 1024   # types.h:53
+MAX_ROBOTS_SIZE = 64 * 1024   # types.h:58
+MAX_ROBOTS_ITEM = 256         # types.h:61
+MAX_COOKIE_SIZE = 128         # types.h:80
+
+
+@dataclass
+class CrawlConfig:
+    """Settings a Larbin config file can express (global.cxx:250-418).
+
+    Defaults are the *code* defaults (global.cxx:69-119,157-166), not the
+    shipped larbin.conf.
+    """
+
+    user_agent: str = "larbin"                  # global.cxx:160
+    sender: str = "larbin@unspecified.mail"     # global.cxx:161
+    start_urls: tuple[str, ...] = ()            # startUrl lines
+    wait_duration: int = 60                     # global.cxx:158 (seconds/IP)
+    depth_in_site: int = 5                      # global.cxx:159
+    nb_conn: int = 20                           # pagesConnexions, global.cxx:162
+    dns_conn: int = 3                           # dnsConnexions, global.cxx:163
+    limit_to_domains: tuple[str, ...] | None = None  # limitToDomain block
+    forbidden_extensions: tuple[str, ...] = DEFAULT_FORBIDDEN_EXTENSIONS
+    external_links: bool = True                 # noExternalLinks inverts
+    ignore_robots: bool = False
+    depth_by_site: bool = False
+    use_cookies: bool = False
+    get_image: bool = False
+    get_cgi: bool = False
+    any_type: bool = False
+    punycode: bool = False
+    page_no_duplicate: bool = False
+    specific_search: bool = False
+    # specificSet block: parallel (content-type, privileged extension) lists
+    content_types: tuple[str, ...] = ()
+    privileged_exts: tuple[str, ...] = ()
+    lock_site: bool = False
+    limit_page: int = 0                         # 0 = unlimited
+    limit_time: int = 0                         # seconds of simulated time
+
+    # ---- engine-side knobs (no reference equivalent; scale tuning) ----
+    num_scheduler_shards: int = 8    # host/IP scheduler actor pool size
+    num_seen_shards: int = 4         # URL-seen bitset shard actors
+    fetch_concurrency: int = 4       # fetch-join actor pool
+    parse_batch_size: int = 256      # rows per parse map_batches batch
+    max_ticks: int = 100_000         # safety valve on the generation loop
+    checkpoint_every: int = 0        # write frontier/seen snapshot every N ticks (0=off)
+
+    @staticmethod
+    def larbin_conf_profile(**overrides) -> "CrawlConfig":
+        """The shipped /root/reference/larbin.conf settings."""
+        base = dict(
+            user_agent="larbin_2.6.5",
+            sender="larbin@unspecified.mail",
+            wait_duration=60,
+            depth_in_site=5,
+            nb_conn=100,
+            dns_conn=5,
+            depth_by_site=True,
+            specific_search=False,  # conf has a specificSet block but no specificSearch key
+            content_types=("audio/mpge", "image/jpeg"),
+            privileged_exts=(".mp3", ".jpg"),
+        )
+        base.update(overrides)
+        return CrawlConfig(**base)
+
+    def forbidden_ext_bytes(self) -> tuple[bytes, ...]:
+        return tuple(e.lower().encode() for e in self.forbidden_extensions)
+
+    def domains_bytes(self) -> tuple[bytes, ...] | None:
+        if self.limit_to_domains is None:
+            return None
+        return tuple(d.encode() for d in self.limit_to_domains)

@@ -1,0 +1,271 @@
+"""HTML link extraction — byte-exact port of the reference scanner
+/root/reference/src/fetch/file.cxx:597-798 (``parseHtml`` /
+``parseComment`` / ``parseTag`` / ``parseContent``) plus the stateless
+part of link admission (``manageUrl`` file.cxx:329-357, ``filter1``
+fetch/checker.cxx:70-90, stateless half of ``initOK`` url.cxx:343-391).
+
+Replicated quirks (each is observable in link output and therefore part
+of the URL-seen-set invariant):
+
+- tags are recognized by first letter: ANY tag starting with ``a`` is
+  scanned for ``href``; ``l``/``b``/``f``/``i`` must spell link / base /
+  frame / img (file.cxx:677-699); matching is ``byte | 32``;
+- after the parameter name matches, the reference tests
+  ``posParse[i]`` — a lookahead *i* bytes past the value start — against
+  ``'>'``/NUL (file.cxx:712), so very short values just before ``>`` are
+  dropped;
+- attribute values stop at quotes/whitespace/``>`` or a CGI char
+  (``? = *`` unless getCGI; file.cxx:291,737-747); ``\\`` becomes ``/``;
+  values longer than 1024 or stopped by a CGI char are dropped; a value
+  running to end-of-buffer is dropped (truncation guard, file.cxx:753);
+- comments skip to ``-->``; an unterminated comment ends parsing
+  (file.cxx:621-634);
+- ``<base href>`` rewrites the base only when the value has a ``/``
+  after position 7; an invalid rewritten base sets base to None so later
+  relative links are dropped (file.cxx:766-790);
+- scanning stops at the first NUL byte (C strchr semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.kernels.textutil import end_with, end_with_ignore_case
+from larbin_ray.kernels.urlnorm import Url, parse_url
+
+_LINK = 0
+_BASE = 1
+
+_SPACES = (0x20, 0x0A, 0x0D, 0x09)
+_TEXT_STOP = (0x20, 0x0A, 0x3E, 0x0D, 0x09, 0)
+
+
+def _strchr(buf: bytes, ch: int, start: int) -> int:
+    """C strchr over a NUL-terminated view: -1 if ch not before a NUL."""
+    idx = buf.find(bytes([ch]), start)
+    if idx == -1:
+        return -1
+    nul = buf.find(b"\0", start)
+    if nul != -1 and nul < idx:
+        return -1
+    return idx
+
+
+def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, bytes]]:
+    """Scan a page body; return ``[(action, value_bytes), ...]`` in
+    document order, action in {0: link, 1: base}."""
+    out: list[tuple[int, bytes]] = []
+    n = len(body)
+
+    def at(p: int) -> int:
+        return body[p] if 0 <= p < n else 0
+
+    def not_cgi(c: int) -> bool:
+        return get_cgi or (c != 0x3F and c != 0x3D and c != 0x2A)
+
+    p = 0
+    while True:
+        p = _strchr(body, 0x3C, p)  # '<'
+        if p == -1:
+            return out
+        if at(p + 1) == 0x21:  # '!'
+            if at(p + 2) == 0x2D and at(p + 3) == 0x2D:  # '<!--'
+                p += 4
+                # parseComment, file.cxx:621-634
+                while True:
+                    p = _strchr(body, 0x2D, p)  # '-'
+                    if p == -1:
+                        return out  # posParse = buffer+pos: parsing over
+                    if at(p + 1) == 0x2D and at(p + 2) == 0x3E:
+                        p += 3
+                        break
+                    p += 1
+            else:
+                p += 2
+            continue
+        p += 1
+        # ---- parseTag, file.cxx:671-723 ----
+        while at(p) in _SPACES:
+            p += 1
+
+        def this_char_is(i: int, c: int) -> bool:
+            return c == (at(p + i) | 32)
+
+        c0 = at(p) | 32
+        if c0 == 0x61:  # 'a'
+            param, action = b"href", _LINK
+            p += 1
+        elif c0 == 0x6C:  # 'l'
+            if this_char_is(1, 0x69) and this_char_is(2, 0x6E) and this_char_is(3, 0x6B):
+                param, action = b"href", _LINK
+                p += 4
+            else:
+                p += 1
+                continue
+        elif c0 == 0x62:  # 'b'
+            if this_char_is(1, 0x61) and this_char_is(2, 0x73) and this_char_is(3, 0x65):
+                param, action = b"href", _BASE
+                p += 4
+            else:
+                p += 1
+                continue
+        elif c0 == 0x66:  # 'f'
+            if (this_char_is(1, 0x72) and this_char_is(2, 0x61)
+                    and this_char_is(3, 0x6D) and this_char_is(4, 0x65)):
+                param, action = b"src", _LINK
+                p += 5
+            else:
+                p += 1
+                continue
+        elif get_image and c0 == 0x69:  # 'i'
+            if this_char_is(1, 0x6D) and this_char_is(2, 0x67):
+                param, action = b"src", _LINK
+                p += 3
+            else:
+                p += 1
+                continue
+        else:
+            continue
+
+        # find the parameter
+        while at(p) in _SPACES:
+            p += 1
+        found = False
+        while True:
+            i = 0
+            while i < len(param) and param[i] == (at(p + i) | 32):
+                i += 1
+            p += i
+            while at(p) in _SPACES:
+                p += 1
+            look = at(p + i)  # the reference's posParse[i] lookahead quirk
+            if look == 0x3E or look == 0:
+                break
+            if i == len(param):
+                found = True
+                break
+            # nextWord(): skipText + skipSpace
+            while at(p) not in _TEXT_STOP:
+                p += 1
+            while at(p) in _SPACES:
+                p += 1
+        if not found:
+            continue
+
+        # ---- parseContent, file.cxx:726-798 ----
+        p += 1
+        while at(p) in (0x20, 0x3D):  # ' ' '='
+            p += 1
+        if at(p) in (0x22, 0x27):  # '"' '\''
+            p += 1
+        area = p
+        end_item = min(area + 1024, n)  # maxUrlSize
+        value = bytearray()
+        while p < end_item:
+            c = body[p]
+            if c in (0x22, 0x27, 0x0A, 0x20, 0x3E, 0x0D, 0x09) or not not_cgi(c):
+                break
+            value.append(0x2F if c == 0x5C else c)  # '\' -> '/'
+            p += 1
+        if p == n:
+            return out  # value truncated at EOF: whole parse ends (file.cxx:753)
+        if p < end_item and not_cgi(at(p)):
+            out.append((action, bytes(value)))
+        p += 1
+    return out
+
+
+def filter1(host: bytes, file: bytes, cfg: CrawlConfig,
+            _domains: tuple[bytes, ...] | None = None,
+            _forb: tuple[bytes, ...] | None = None) -> bool:
+    """fetch/checker.cxx:70-90: domain allow-list, then allow
+    ``*html``/``*htm``/trailing ``/`` (suffix without a dot!), else
+    reject forbidden extensions."""
+    domains = _domains if _domains is not None else cfg.domains_bytes()
+    if domains is not None:
+        if not any(end_with(d, host) for d in domains):
+            return False
+    if (end_with_ignore_case(b"html", file)
+            or end_with_ignore_case(b"htm", file)
+            or file[-1:] == b"/"):
+        return True
+    forb = _forb if _forb is not None else cfg.forbidden_ext_bytes()
+    for ext in forb:
+        if end_with_ignore_case(ext, file):
+            return False
+    return True
+
+
+@dataclass
+class Candidate:
+    """A link that survived the stateless admission chain and is bound for
+    the stateful checks (fast-fail + seen-set)."""
+    url: Url
+    is_redir: bool
+    order: int          # document order of the link on the page
+
+
+@dataclass
+class ExtractResult:
+    candidates: list[Candidate]
+    errors: list[str]   # stateless initOK failures, in order (outSite / tooDeep)
+
+
+def admit_link(nouv: Url, here: Url, is_redir: bool, cfg: CrawlConfig,
+               order: int, result: ExtractResult,
+               _domains=None, _forb=None) -> None:
+    """manageUrl (file.cxx:329-357) + the stateless half of initOK
+    (url.cxx:343-369): validity, filter1, external-link policy, lockSite
+    => outSite, depthBySite reset, depth<0 => tooDeep.  The cached-DNS /
+    cached-robots fast-fails (url.cxx:371-389) run later in the
+    scheduler shard that owns the host."""
+    if not nouv.is_valid():
+        return
+    if not filter1(nouv.host, nouv.file, cfg, _domains, _forb):
+        return
+    if not (cfg.external_links or is_redir or nouv.host == here.host):
+        return
+    # initOK stateless part
+    if nouv.host != here.host:
+        if cfg.lock_site:
+            result.errors.append("outSite")
+            return
+        if cfg.depth_by_site:
+            nouv.depth = cfg.depth_in_site
+    else:
+        if cfg.use_cookies and here.cookie is not None:
+            nouv.cookie = here.cookie[:128]
+    if nouv.depth < 0:
+        result.errors.append("tooDeep")
+        return
+    result.candidates.append(Candidate(nouv, is_redir, order))
+
+
+def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
+                  _domains=None, _forb=None) -> ExtractResult:
+    """Full per-page extraction: scan + base handling + admission chain.
+    ``here`` is the fetched page's URL; depth of extracted links is
+    ``here.depth - 1`` (file.cxx:764); redirects keep the same depth and
+    are admitted separately via ``admit_link(..., is_redir=True)``."""
+    result = ExtractResult([], [])
+    base: Url | None = here.give_base()
+    order = 0
+    for action, value in parse_html(body, cfg.get_image, cfg.get_cgi):
+        if action == _LINK:
+            nouv = parse_url(value, here.depth - 1, base)
+            admit_link(nouv, here, False, cfg, order, result, _domains, _forb)
+            order += 1
+        else:  # BASE, file.cxx:766-790
+            if len(value) == 0:
+                continue
+            end = len(value) - 1
+            while end > 7 and value[end] != 0x2F:
+                end -= 1
+            if end > 7:
+                tmpbase = parse_url(value[:end + 1], 0, None)
+                if tmpbase.is_valid():
+                    base = tmpbase
+                else:
+                    base = None
+    return result

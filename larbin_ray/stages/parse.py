@@ -1,0 +1,147 @@
+"""Parse + extract stage: the per-batch transform that turns raw fetched
+responses into page results + candidate links.
+
+This is the Ray-Data expression of the reference's per-connection parser
+(``html`` state machine, file.cxx) — reference parses incrementally per
+socket; we parse completed response buffers per Arrow batch.  Stateless
+per row, so it runs as a ``map_batches`` callable-class actor pool
+(config precompiled once per actor in ``__init__``).
+
+Input batch columns  : url(string), depth(int32), is_robots(bool) [+ passthrough]
+plus html(binary) — the fetched response (empty => noConnection).
+Output batch columns : url, depth, is_robots, status, text(binary),
+content_hash(int64), interesting(bool), links(list<struct<host:binary,
+port:int32, file:binary, depth:int32, redir:bool, order:int32>>),
+stateless_errors(list<string>).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.kernels.extract import Candidate, ExtractResult, admit_link, extract_links
+from larbin_ray.kernels.httpparse import content_dup_code, parse_response
+from larbin_ray.kernels.urlnorm import Url, parse_url
+
+LINK_STRUCT = pa.struct([
+    ("host", pa.binary()),
+    ("port", pa.int32()),
+    ("file", pa.binary()),
+    ("depth", pa.int32()),
+    ("redir", pa.bool_()),
+    ("order", pa.int32()),
+])
+
+PARSE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("depth", pa.int32()),
+    ("is_robots", pa.bool_()),
+    ("status", pa.string()),
+    ("text", pa.binary()),
+    ("content_hash", pa.int64()),
+    ("interesting", pa.bool_()),
+    ("links", pa.list_(LINK_STRUCT)),
+    ("stateless_errors", pa.list_(pa.string())),
+])
+
+
+def candidate_dicts(res: ExtractResult) -> list[dict]:
+    return [
+        {"host": c.url.host, "port": c.url.port, "file": c.url.file,
+         "depth": c.url.depth, "redir": c.is_redir, "order": c.order}
+        for c in res.candidates
+    ]
+
+
+def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
+              domains, forb) -> tuple[str, bytes, int, bool, list[dict], list[str]]:
+    """-> (status, text, content_hash, interesting, links, stateless_errors).
+
+    ``status`` here is pre-dedup: 'success' means an HTML body was parsed
+    (the content-dup check happens in the driver against the sharded dup
+    bitset, preserving deterministic order — file.cxx:583-588 runs it
+    before parseHtml; we compute the hash here and let the dup owner
+    decide, discarding the links of dropped duplicates)."""
+    if len(raw) == 0:
+        return "noConnection", b"", -1, False, [], []
+    here = parse_url(url_s.encode(), depth, None)
+    r = parse_response(raw, cfg)
+    if r.status == "err30X":
+        links: list[dict] = []
+        errors: list[str] = []
+        if r.location is not None:
+            res = ExtractResult([], [])
+            base = here.give_base()
+            nouv = parse_url(r.location, here.depth, base)  # same depth, file.cxx:550
+            admit_link(nouv, here, True, cfg, 0, res, domains, forb)
+            links = candidate_dicts(res)
+            errors = res.errors
+        return "err30X", b"", -1, False, links, errors
+    if r.status != "html":
+        return r.status, b"", -1, False, [], []
+    chash = content_dup_code(r.body) if cfg.page_no_duplicate else -1
+    res = extract_links(here, r.body, cfg, domains, forb)
+    return "success", r.body, chash, r.interesting, candidate_dicts(res), res.errors
+
+
+class ParseExtract:
+    """map_batches callable: one instance per actor, config baked in."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.domains = cfg.domains_bytes()
+        self.forb = cfg.forbidden_ext_bytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        urls = batch["url"].to_pylist()
+        depths = batch["depth"].to_pylist() if "depth" in batch.column_names \
+            else [cfg.depth_in_site] * len(urls)
+        robots_flags = batch["is_robots"].to_pylist() if "is_robots" in batch.column_names \
+            else [False] * len(urls)
+        raws = batch["html"].to_pylist()
+        statuses, texts, chashes, interests, links_col, err_col = [], [], [], [], [], []
+        for url_s, depth, is_rob, raw in zip(urls, depths, robots_flags, raws):
+            raw = raw or b""
+            if is_rob:
+                # robots bodies are parsed by the scheduler shard that owns
+                # the host; pass the raw body through as text
+                statuses.append("robots")
+                texts.append(raw)
+                chashes.append(-1)
+                interests.append(False)
+                links_col.append([])
+                err_col.append([])
+                continue
+            st, text, ch, inter, links, errs = parse_one(url_s, depth, raw, cfg,
+                                                         self.domains, self.forb)
+            statuses.append(st)
+            texts.append(text)
+            chashes.append(ch)
+            interests.append(inter)
+            links_col.append(links)
+            err_col.append(errs)
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "is_robots": pa.array(robots_flags, pa.bool_()),
+            "status": pa.array(statuses, pa.string()),
+            "text": pa.array(texts, pa.binary()),
+            "content_hash": pa.array(chashes, pa.int64()),
+            "interesting": pa.array(interests, pa.bool_()),
+            "links": pa.array(links_col, pa.list_(LINK_STRUCT)),
+            "stateless_errors": pa.array(err_col, pa.list_(pa.string())),
+        }
+        # passthrough columns (warc_ts, lang, tick, ip, ...) ride along
+        for name in batch.column_names:
+            if name not in ("url", "depth", "is_robots", "html") and name not in cols:
+                cols[name] = batch[name]
+        return pa.table(cols)
+
+
+def links_from_row(links_cell: list[dict]) -> list[tuple[Url, bool, int]]:
+    return [
+        (Url(d["host"], d["port"], d["file"], d["depth"]), d["redir"], d["order"])
+        for d in links_cell
+    ]
