@@ -27,6 +27,13 @@ _BASE_TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
 _LANGS = ["en", "zh", "de", "fr"]
 
 
+def domain_name(d: int) -> str:
+    """Letter-encoded domain names: the content-dup hash only feeds on
+    letters (hash_duplicate.cxx:88), so hostnames must differ in letters
+    or structurally-identical pages on different hosts collide."""
+    return "site" + "".join(chr(ord("a") + int(c)) for c in str(d)) + ".example"
+
+
 def _response(body: bytes, status: bytes = b"200 OK",
               ctype: bytes | None = b"text/html",
               extra: list[bytes] = (), clen: int | None = None) -> bytes:
@@ -63,7 +70,7 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
     """Build the pages table.  ~n_pages regular pages spread over
     n_domains with a Zipf-ish skew, plus special hosts/pages."""
     rng = random.Random(seed)
-    domains = [f"site{d}.example" for d in range(n_domains)]
+    domains = [domain_name(d) for d in range(n_domains)]
     weights = [1.0 / (d + 1) for d in range(n_domains)]
 
     # per-domain page path lists (regular pages only)
@@ -78,8 +85,8 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
     for d in domains:
         hosts_of[d] = d
     if n_domains >= 1 and pages_of[domains[0]]:
-        hosts_of["a.site0.example"] = domains[0]
-        hosts_of["b.site0.example"] = domains[0]
+        hosts_of[f"a.{domains[0]}"] = domains[0]
+        hosts_of[f"b.{domains[0]}"] = domains[0]
 
     rows: list[tuple[str, bytes]] = []       # (url, html)
     url_of: dict[str, list[str]] = {}        # host -> list of its page urls
@@ -91,7 +98,7 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
     for d in domains:
         for path in pages_of[d]:
             all_urls_of(d).append(f"http://{d}{path}")
-    for extra_host in ("a.site0.example", "b.site0.example"):
+    for extra_host in (f"a.{domains[0]}", f"b.{domains[0]}"):
         if extra_host in hosts_of and extra_host != hosts_of[extra_host]:
             for j in range(3):
                 all_urls_of(extra_host).append(f"http://{extra_host}/s/{j}.html")
@@ -114,18 +121,18 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
             # ring link keeps the domain connected
             nxt = urls[(j + 1) % n]
             links.append(nxt)
-            # relative form of another same-host page
+            # relative form of another same-host page (same dir => basename)
             other = urls[rng.randrange(n)]
-            links.append(other.split(host, 1)[1].lstrip("/"))  # relative to /
+            links.append(other.rsplit("/", 1)[1])
             # absolute same-host + cross-host picks
             links.append(pick_link(rng, host))
             links.append(pick_link(rng, host))
             # normalization exercise on some pages
             if j % 5 == 0 and n > 1:
                 tgt = urls[(j + 2) % n].split(host, 1)[1]
-                links.append(f"/p/..{tgt}")          # /p/../p/x.html
+                links.append("/p/.." + tgt)              # /p/../p/x.html
                 links.append(tgt.replace("/p/", "/p/./", 1))
-                links.append("%2fp%2f..%2f" + tgt.lstrip("/"))  # %2f decodes to /
+                links.append("/%70" + tgt[2:])           # %70 decodes to 'p'
             if j % 7 == 0:
                 links.append("/file.zip")            # forbidden extension
                 links.append("/private/secret.html")  # robots-forbidden area
@@ -133,11 +140,13 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
                 # base-href page: relative links resolve against another dir
                 body = _page_body(host, [urls[(j + 3) % n].rsplit("/", 1)[1]],
                                   f"page {j}", base_href=f"http://{host}/p/",
-                                  filler=f"deterministic filler {host} {j}")
+                                  filler="base page filler %s %s" % (
+                                      host, "".join(chr(ord("a") + int(c)) for c in str(j))))
                 rows.append((u, _response(body)))
                 continue
             body = _page_body(host, links, f"page {j}",
-                              filler=f"deterministic filler {host} {j} " + "x" * (j % 50))
+                              filler="deterministic filler %s %s" % (
+                                  host, "".join(chr(ord("a") + int(c)) for c in str(j))))
             rows.append((u, _response(body)))
 
     # ---- robots.txt fixtures ----
@@ -190,12 +199,26 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
         "http://9bad/x.html",                   # digit-lead junk host -> noDNS
         sp_target,                               # seen-dup -> urlDup
     ]
+    if n_domains >= 5:
+        # first contact with domain 4 (robots: Disallow /private/) is a
+        # forbidden url: it waits in pending during the robots fetch and
+        # dies at transfer time -> forbiddenRobots (site.cxx:482-496),
+        # unlike the fastRobots initOK path
+        hub_links.append(f"http://{domains[4]}/private/first-contact.html")
+        hub_links.append(f"http://{domains[4]}/p/0.html")
     hub_url = f"http://{sp}/hub.html"
     rows.append((hub_url, _response(_page_body(sp, hub_links, "hub"))))
     # link the hub from the domain's first page by appending a row variant:
     # simplest closed-graph trick: hub is a seed in default_seeds().
+    # the ip page is fetched ticks after the hub, when the dead hosts have
+    # already resolved: its links hit the initOK fast-fail paths
+    # (fastNoDns / fastNoConn, url.cxx:371-389)
     rows.append(("http://10.77.0.1/ip.html",
-                 _response(_page_body("10.77.0.1", [hub_url], "ip page"))))
+                 _response(_page_body("10.77.0.1", [
+                     hub_url,
+                     "http://nodns.dead.example/late.html",
+                     "http://noconn.down.example/late.html",
+                 ], "ip page"))))
 
     # ---- assemble the Arrow table ----
     seen_urls = set()
@@ -221,12 +244,12 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
 
 def default_seeds(n_domains: int = 12) -> list[str]:
     """One seed per interesting host class (FIXTURES.md F2)."""
-    seeds = [f"http://site{d}.example/p/0.html" for d in range(min(4, n_domains))]
+    seeds = [f"http://{domain_name(d)}/p/0.html" for d in range(min(4, n_domains))]
     if n_domains >= 2:
-        seeds.append(f"http://site{1 % n_domains}.example/hub.html")
+        seeds.append(f"http://{domain_name(1 % n_domains)}/hub.html")
     if n_domains >= 1:
-        seeds.append("http://a.site0.example/s/0.html")
-        seeds.append("http://b.site0.example/s/0.html")
+        seeds.append(f"http://a.{domain_name(0)}/s/0.html")
+        seeds.append(f"http://b.{domain_name(0)}/s/0.html")
     return seeds
 
 

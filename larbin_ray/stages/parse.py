@@ -31,6 +31,7 @@ LINK_STRUCT = pa.struct([
     ("depth", pa.int32()),
     ("redir", pa.bool_()),
     ("order", pa.int32()),
+    ("hash", pa.int64()),       # url.cxx:474-482 hashCode, precomputed in-stage
 ])
 
 PARSE_SCHEMA = pa.schema([
@@ -49,7 +50,8 @@ PARSE_SCHEMA = pa.schema([
 def candidate_dicts(res: ExtractResult) -> list[dict]:
     return [
         {"host": c.url.host, "port": c.url.port, "file": c.url.file,
-         "depth": c.url.depth, "redir": c.is_redir, "order": c.order}
+         "depth": c.url.depth, "redir": c.is_redir, "order": c.order,
+         "hash": c.url.hash_code()}
         for c in res.candidates
     ]
 

@@ -1,0 +1,70 @@
+"""Sharded bitset actors — the distributed form of Larbin's global
+``hashTable seen`` / ``hashDup`` singletons (SURVEY.md §2.4 T1/T2).
+
+Sharding is by ``code % num_shards``; shard ``k`` stores bit
+``code // num_shards`` of a local bitset, so the global 64M-bit space
+(or an 8-GB one at 10^10 scale) is partitioned with no overlap.  Two
+colliding codes (same bit) always land in the same shard, so
+first-wins resolution inside a shard is globally correct for ANY shard
+count — which is what makes the crawl output independent of
+parallelism.
+
+Determinism protocol (the barrier+sort pattern): callers may send
+candidate batches in any order during a tick; each batch carries sort
+keys; ``resolve()`` at the tick barrier sorts everything buffered and
+applies ``testSet`` sequentially.  Arrival order therefore never
+influences which of two bit-colliding URLs survives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from larbin_ray.config import HASH_SIZE
+from larbin_ray.state.bitset import Bitset
+
+
+class BitsetShardCore:
+    """Testable core (the Ray actor below is a thin wrapper)."""
+
+    def __init__(self, shard_id: int, num_shards: int, nbits: int = HASH_SIZE):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        local = (nbits + num_shards - 1) // num_shards
+        local = ((local + 7) // 8) * 8          # whole bytes
+        self.bitset = Bitset(local)
+        self._buffer: list[tuple[tuple, int, int]] = []   # (sort_key, seq, code)
+
+    def submit(self, keyed_codes: list[tuple[tuple, int, int]]) -> None:
+        self._buffer.extend(keyed_codes)
+
+    def resolve(self) -> list[tuple[int, bool]]:
+        self._buffer.sort(key=lambda t: t[0])
+        out = [(seq, self.bitset.test_set(code // self.num_shards))
+               for _k, seq, code in self._buffer]
+        self._buffer = []
+        return out
+
+    def test_set_sorted(self, codes: list[int]) -> list[bool]:
+        return [self.bitset.test_set(c // self.num_shards) for c in codes]
+
+    def global_indices(self) -> np.ndarray:
+        return self.bitset.set_indices() * self.num_shards + self.shard_id
+
+    def table_bytes(self) -> bytes:
+        return self.bitset.table.tobytes()
+
+    def load_table(self, b: bytes) -> None:
+        self.bitset.table = np.frombuffer(b, dtype=np.uint8).copy()
+
+
+@ray.remote
+class BitsetShard(BitsetShardCore):
+    pass
+
+
+def gather_seen_indices(shards) -> np.ndarray:
+    """Merge per-shard snapshots back into global sorted bit indices."""
+    parts = ray.get([s.global_indices.remote() for s in shards])
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)

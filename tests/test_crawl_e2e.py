@@ -1,0 +1,87 @@
+"""End-to-end crawl correctness: the Ray engine must reproduce the
+serial oracle bit-for-bit — crawl order keys (tick, ip, sub), the
+URL-seen bitset, per-url extracted text, and the FetchError answers
+histogram — independent of shard count (FIXTURES.md F5, BASELINE.md
+correctness invariant)."""
+
+import numpy as np
+import pytest
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.oracle.simcrawl import oracle_crawl
+from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+
+@pytest.fixture(scope="module")
+def web():
+    return gen_web(60, 6, seed=42)
+
+
+@pytest.fixture(scope="module")
+def seeds():
+    return default_seeds(6)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                       num_scheduler_shards=3, num_seen_shards=2)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(web, seeds, cfg):
+    return oracle_crawl(web, seeds, cfg)
+
+
+def assert_same_crawl(o, e):
+    assert sorted(o.order_keys()) == sorted(e.order_keys())
+    assert dict(o.answers) == dict(e.answers)
+    assert np.array_equal(o.seen_indices, e.seen_indices)
+    assert o.text_by_url() == e.text_by_url()
+
+
+def test_engine_matches_oracle(ray_session, web, seeds, cfg, oracle_result):
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(oracle_result, e)
+
+
+def test_shard_count_invariance(ray_session, web, seeds, oracle_result):
+    """Different actor-shard counts (the analog of a different cluster
+    size) must produce the identical crawl."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg2 = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                       num_scheduler_shards=1, num_seen_shards=1)
+    e = ray_crawl(web, seeds, cfg2)
+    assert_same_crawl(oracle_result, e)
+
+
+def test_drain_mode_matches(ray_session, web, seeds):
+    """wait_duration=0 (no politeness): whole IP queues drain per tick."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(wait_duration=0, depth_by_site=True,
+                      num_scheduler_shards=2, num_seen_shards=2)
+    o = oracle_crawl(web, seeds, cfg)
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(o, e)
+    assert max(r["tick"] for r in e.fetched) < 10  # few ticks in drain mode
+
+
+def test_oracle_error_taxonomy(oracle_result):
+    a = oracle_result.answers
+    for k in ("success", "urlDup", "err30X", "err40X", "noDNS", "fastNoDns",
+              "noConnection", "fastNoConn", "forbiddenRobots", "fastRobots",
+              "tooDeep", "badType", "tooBig", "earlyStop"):
+        assert a.get(k, 0) >= 1, (k, dict(a))
+
+
+def test_oracle_politeness(oracle_result):
+    """At most one page fetch per IP per tick under wait_duration=60."""
+    from collections import Counter
+
+    c = Counter((r["tick"], r["ip"]) for r in oracle_result.fetched
+                if not r["is_robots"])
+    assert max(c.values()) == 1
