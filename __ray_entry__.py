@@ -4,8 +4,7 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
+CORRECTNESS_r{N}.json).  Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
 Ray is initialised by the driver BEFORE this module is imported: do not
@@ -17,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+_STOP_SQL = "('the','a','of','and','to','in','is','on','for','with')"
 
 
 def entry() -> Any:
@@ -33,21 +34,203 @@ def entry() -> Any:
                            concurrency=2, batch_size=64)
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+def _crawl(sf_dir: str):
+    """Deterministic crawl over the synthetic web (scaled by sf tier)."""
+    import pandas as pd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from larbin_ray.config import CrawlConfig
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+    n_pages, n_domains = (120, 8) if "0.001" in sf_dir else (240, 12)
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      wait_duration=0,  # drain mode: few ticks, big batches
+                      num_scheduler_shards=4, num_seen_shards=2)
+    web = gen_web(n_pages, n_domains, seed=42)
+    res = ray_crawl(web, default_seeds(n_domains), cfg)
+    rows = res.fetched_sorted()
+    return res, rows
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    """One entry per implemented operator/pipeline from SURVEY.md §2 and
+    the training-data operator set.  Each callable takes ``sf_dir``."""
+    from larbin_ray.pipelines import relational as R
+    from larbin_ray.pipelines import similarity as S
+    from larbin_ray.pipelines import textops as T
+
+    def crawl_pages(sf_dir: str):
+        import pandas as pd
+        _res, rows = _crawl(sf_dir)
+        return pd.DataFrame([{k: r[k] for k in
+                              ("url", "tick", "ip", "sub", "status", "is_robots", "depth")}
+                             for r in rows])
+
+    def crawl_answers(sf_dir: str):
+        import pandas as pd
+        res, _rows = _crawl(sf_dir)
+        items = sorted(res.answers.items())
+        return pd.DataFrame({"status": [k for k, _ in items],
+                             "n": [v for _, v in items]})
+
+    def extract_pages(sf_dir: str):
+        from larbin_ray.config import CrawlConfig
+        from larbin_ray.pipelines.extract import extract_summary, from_table
+        from larbin_ray.sources.synthweb import gen_web
+        n_pages, n_domains = (120, 8) if "0.001" in sf_dir else (240, 12)
+        return extract_summary(from_table(gen_web(n_pages, n_domains), 8),
+                               CrawlConfig(), concurrency=2, batch_size=128)
+
+    return {
+        # crawl engine (rows-only checks: pages table is engine-generated)
+        "crawl_pages": crawl_pages,
+        "crawl_answers": crawl_answers,
+        "extract_pages": extract_pages,
+        # aggregates / sinks analogs (SQL-verified)
+        "doc_count_by_lang_source": R.doc_count_by_lang_source,
+        "page_size_histogram": R.page_size_histogram,
+        "events_tumbling_window": R.events_tumbling_window,
+        "sessionize_events": R.sessionize_events,
+        "top_users_by_value": R.top_users_by_value,
+        "orders_by_segment": R.orders_by_segment,
+        "lineitem_pricing_summary": R.lineitem_pricing_summary,
+        # dedup family
+        "dedup_exact": T.dedup_exact,
+        "dedup_exact_hash": T.dedup_exact_hash,
+        "minhash_dedup": T.minhash_dedup,
+        "simhash_dup_pairs": T.simhash_dup_pairs,
+        # text analysis
+        "token_stats": T.token_stats,
+        "quality_scores": T.quality_scores,
+        "doc_fingerprint": T.doc_fingerprint,
+        "rolling_fingerprint": T.rolling_fingerprint,
+        "lang_id": T.lang_id,
+        # similarity search
+        "knn_bruteforce": S.knn_bruteforce,
+        "knn_ivf": S.knn_ivf,
+        "embedding_dup_pairs": S.embedding_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per SQL-expressible query (column names and
+    rounding match the Ray side exactly).  Crawl/LSH/heuristic ops are
+    omitted on purpose -> rows-only checks."""
+    return {
+        "doc_count_by_lang_source": """
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "page_size_histogram": """
+            SELECT CAST(floor(n_chars / 128) AS BIGINT) AS bucket,
+                   count(*) AS n_pages,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "events_tumbling_window": """
+            SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+                       AS window_start_us,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts - lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "top_users_by_value": """
+            SELECT user_id, round(sum(value), 2) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_exact_hash": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars2
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                         AS DOUBLE) / len(toks), 6) AS stop_ratio,
+                   round(CAST(length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
+                         AS DOUBLE) / length(text), 6) AS punct_ratio,
+                   round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                         / len(toks), 6) AS mean_token_len
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])), 6) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+    }

@@ -1,0 +1,167 @@
+"""Relational-shaped pipelines: the crawl engine's aggregate surfaces
+(answers histogram analog, the K4 stats-sink page-size histogram,
+windowed event rollups) plus join/sort/limit demonstrations over the
+TPC-H-ish tables.  Everything is Ray Data with pre-aggregation before
+the shuffle and broadcast for small join sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def doc_count_by_lang_source(sf_dir: str) -> rd.Dataset:
+    """groupby count — the crawl's answers[]-histogram analog
+    (debug.h:104 -> results.groupby(status).count())."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+
+def page_size_histogram(sf_dir: str, bucket: int = 128) -> rd.Dataset:
+    """The K4 stats sink (io/stats_user_output.cxx:48-62): page-size
+    histogram with fixed-width buckets — counts + total bytes per
+    bucket.  Pre-aggregated per batch before the tiny groupby."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t["n_chars"], bucket)).cast(pa.int64())
+        return pa.table({"bucket": b, "n_chars": t["n_chars"]})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n_pages"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """Tumbling event-time window per event_type: count + sum(value).
+    Windowing = epoch bucketing inside map_batches (no watermark needed
+    for a closed batch input), then a small groupby."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64())
+        w = pc.multiply(pc.floor(pc.divide(epoch_us, window_s * 1_000_000))
+                        .cast(pa.int64()), window_s * 1_000_000)
+        return pa.table({"window_start_us": w, "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby(["window_start_us", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+
+    def round_val(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
+                            pc.round(t["sum_value"], 2))
+
+    return out.map_batches(round_val, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
+    """Session windows per user: a new session starts after a gap >
+    ``gap_s``.  groupby(user) -> map_groups with sorted-within-group
+    pandas logic (the documented Ray Data pattern for streaming-shaped
+    state; ordering assumption: one group fits in memory)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff().dt.total_seconds().fillna(np.inf)
+        sid = (gap > gap_s).cumsum()
+        agg = g.groupby(sid).agg(
+            session_start=("ts", "min"), n_events=("ts", "size"),
+            sum_value=("value", "sum"))
+        agg["user_id"] = g["user_id"].iloc[0]
+        agg["session_start_us"] = agg["session_start"].astype("int64")
+        agg["sum_value"] = agg["sum_value"].round(2)
+        return agg[["user_id", "session_start_us", "n_events", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """sort + limit over a groupby sum (deterministic tie-break by
+    user_id)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"),
+        Count(alias_name="n_events")).to_pandas()
+    agg["total_value"] = agg["total_value"].round(2)
+    agg = agg.sort_values(["total_value", "user_id"],
+                          ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)[["user_id", "total_value", "n_events"]]
+
+
+def orders_by_segment(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join: orders ⨝ customer (small side via ray.put,
+    looked up inside map_batches — no shuffle; SURVEY.md §2.5), then
+    count + revenue per market segment."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        return df[["c_mktsegment", "o_totalprice"]]
+
+    out = (orders.map_batches(join, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue")))
+
+    def round_rev(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("revenue"), "revenue",
+                            pc.round(t["revenue"], 2))
+
+    return out.map_batches(round_rev, batch_format="pyarrow")
+
+
+def lineitem_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> rd.Dataset:
+    """TPC-H Q1-shaped: filter -> per-batch partial aggregation ->
+    tiny groupby merge (the partial/combiner pattern: the shuffle moves
+    one row per (flag,status) per batch, not 600k rows)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp(ship_cutoff)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame({"l_returnflag": [], "l_linestatus": [],
+                                 "sum_qty": [], "sum_base_price": [],
+                                 "sum_disc_price": [], "n_rows": []})
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.assign(disc_price=disc_price).groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n_rows=("l_quantity", "size"))
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price", alias_name="sum_base_price"),
+                      Sum("sum_disc_price", alias_name="sum_disc_price"),
+                      Sum("n_rows", alias_name="n_rows")))
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
+        return t
+
+    return out.map_batches(round_cols, batch_format="pyarrow")

@@ -1,0 +1,98 @@
+"""Training-data pipelines: dedup / text analysis / similarity over the
+driver testdata at sf0.001 (sf0.01 is exercised by the driver gate)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_matches_hash_path(ray_session):
+    from larbin_ray.pipelines.textops import dedup_exact, dedup_exact_hash
+
+    a = dedup_exact(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dedup_exact_hash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["n_copies"].sum() == 500
+
+
+def test_minhash_finds_exact_dups(ray_session):
+    """Exact duplicates have Jaccard 1.0 and must be found by LSH."""
+    from larbin_ray.pipelines.textops import dedup_exact, minhash_dedup
+
+    groups = dedup_exact(SF).to_pandas()
+    dup_groups = groups[groups["n_copies"] > 1]
+    pairs = minhash_dedup(SF, threshold=0.99)
+    if len(dup_groups) > 0:
+        assert len(pairs) >= 1
+        assert (pairs["jaccard"] >= 0.99).all()
+
+
+def test_minhash_deterministic(ray_session):
+    from larbin_ray.pipelines.textops import minhash_dedup
+
+    a = minhash_dedup(SF, threshold=0.7)
+    b = minhash_dedup(SF, threshold=0.7)
+    assert a.equals(b)
+
+
+def test_simhash_pairs_symmetric_and_bounded(ray_session):
+    from larbin_ray.pipelines.textops import simhash_dup_pairs
+
+    p = simhash_dup_pairs(SF, max_hamming=3)
+    assert (p["doc_a"] < p["doc_b"]).all()
+    assert (p["hamming"] <= 3).all()
+
+
+def test_token_stats_vs_python(ray_session):
+    from larbin_ray.pipelines.textops import token_stats
+
+    out = token_stats(SF).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, row in docs.head(20).iterrows():
+        assert out.loc[row["doc_id"], "n_tokens"] == len(row["text"].strip().split())
+
+
+def test_lang_id_runs(ray_session):
+    from larbin_ray.pipelines.textops import lang_id
+
+    out = lang_id(SF).to_pandas()
+    assert len(out) == 500
+    assert set(out["pred_lang"]).issubset({"en", "de", "fr", "es", "zh"})
+
+
+def test_knn_bruteforce_topk(ray_session):
+    from larbin_ray.pipelines.similarity import knn_bruteforce
+
+    out = knn_bruteforce(SF, n_queries=3, k=5)
+    assert len(out) == 15
+    # per-query sims are non-increasing
+    for _, g in out.groupby("query_id"):
+        sims = g["sim"].to_numpy()
+        assert (np.diff(sims) <= 1e-9).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF with nprobe=all cells must equal brute force; fewer probes
+    must still recover most of the true top-k."""
+    from larbin_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(SF, n_queries=3, k=5)
+    ivf_all = knn_ivf(SF, n_queries=3, k=5, n_cells=8, nprobe=8)
+    assert bf[["query_id", "neighbor_id"]].reset_index(drop=True).equals(
+        ivf_all[["query_id", "neighbor_id"]].reset_index(drop=True))
+    ivf = knn_ivf(SF, n_queries=3, k=5, n_cells=8, nprobe=3)
+    hits = len(set(map(tuple, bf[["query_id", "neighbor_id"]].values))
+               & set(map(tuple, ivf[["query_id", "neighbor_id"]].values)))
+    assert hits / len(bf) >= 0.5
+
+
+def test_sessionize(ray_session):
+    from larbin_ray.pipelines.relational import sessionize_events
+
+    out = sessionize_events(SF).to_pandas()
+    assert (out["n_events"] >= 1).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert out["n_events"].sum() == len(ev)
