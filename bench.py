@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the same bench twice in fresh processes at 8 and
+32 CPUs on the same input and reports both throughputs + the scaling
+efficiency (the sandbox evidence protocol for BASELINE.json's
+N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/larbin_bench_cache"
+
+# bench web scale per sf tier (pages, domains)
+WEB_SCALE = {"0.001": (2_000, 100), "0.01": (12_000, 600), "0.1": (400_000, 8_000)}
+
+
+def _sf_tag() -> str:
+    for tag in ("0.001", "0.01", "0.1"):
+        if tag in SF_DIR and not (tag == "0.01" and "0.001" in SF_DIR):
+            pass
+    if "0.001" in SF_DIR:
+        return "0.001"
+    if "0.01" in SF_DIR:
+        return "0.01"
+    return "0.1"
+
+
+def bench_web_path() -> str:
+    """Generate (once) and cache the bench-scale synthetic web."""
+    import pyarrow.parquet as pq
+
+    n_pages, n_domains = WEB_SCALE[_sf_tag()]
+    os.makedirs(CACHE, exist_ok=True)
+    path = f"{CACHE}/web_{n_pages}_{n_domains}.parquet"
+    if not os.path.exists(path):
+        from larbin_ray.sources.synthweb import gen_web
+        pq.write_table(gen_web(n_pages, n_domains, seed=42), path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+
+    from larbin_ray.config import CrawlConfig
+    from larbin_ray.pipelines import relational as R
+    from larbin_ray.pipelines import similarity as S
+    from larbin_ray.pipelines import textops as T
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from larbin_ray.sources.synthweb import breadth_seeds
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the page cache (untimed)
+    web_path = bench_web_path()
+    web = pq.read_table(web_path)
+    n_pages, n_domains = WEB_SCALE[_sf_tag()]
+
+    # ---- headline: the crawl loop (drain mode = throughput config) ----
+    cfg = CrawlConfig(wait_duration=0, depth_by_site=True,
+                      num_scheduler_shards=8, num_seen_shards=4,
+                      parse_batch_size=512)
+    # untimed warmup: saturate the FULL worker pool (a small crawl only
+    # spawns a few workers; the first big tick then stalls ~20s while Ray
+    # forks and imports the rest of the pool all at once)
+    import ray
+
+    @ray.remote
+    def _warm() -> int:
+        import larbin_ray.stages.parse  # noqa: F401  (heavy imports)
+        import pandas  # noqa: F401
+        return 1
+
+    ray.get([_warm.remote() for _ in range(NUM_CPUS * 2)])
+    from larbin_ray.sources.synthweb import gen_web
+    warm_web = gen_web(2_000, 100, seed=7)
+    ray_crawl(warm_web, breadth_seeds(100), cfg)
+    res = timed("crawl", lambda: ray_crawl(web, breadth_seeds(n_domains), cfg,
+                                           out_dir=f"{CACHE}/crawl_out_{NUM_CPUS}",
+                                           build_rows=False))
+    fetched = res.fetched_count()
+    extras["crawl_pages"] = fetched
+    extras["crawl_pages_per_sec"] = round(fetched / timings["crawl"], 1)
+    # frontier ops = urls through admission (seen testSet calls)
+    frontier_ops = sum(res.answers.values()) + res.answers.get("urlDup", 0)
+    extras["frontier_ops_per_sec"] = round(frontier_ops / timings["crawl"], 1)
+
+    # ---- training-data pipelines over the sf tables ----
+    timed("dedup_exact_hash", lambda: T.dedup_exact_hash(SF_DIR))
+    timed("minhash_dedup", lambda: T.minhash_dedup(SF_DIR, num_hashes=32, bands=8))
+    timed("token_stats", lambda: T.token_stats(SF_DIR).to_pandas())
+    timed("quality_scores", lambda: T.quality_scores(SF_DIR).to_pandas())
+    timed("lang_id", lambda: T.lang_id(SF_DIR).to_pandas())
+    timed("knn_bruteforce", lambda: S.knn_bruteforce(SF_DIR, n_queries=10, k=10))
+    timed("events_tumbling_window",
+          lambda: R.events_tumbling_window(SF_DIR).to_pandas())
+    timed("sessionize_events", lambda: R.sessionize_events(SF_DIR).to_pandas())
+    timed("lineitem_pricing_summary",
+          lambda: R.lineitem_pricing_summary(SF_DIR).to_pandas())
+    timed("orders_by_segment", lambda: R.orders_by_segment(SF_DIR).to_pandas())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(_sf_tag()),
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same input, fresh processes at N and 4N CPUs -> efficiency.
+
+    Default pair is (2, 8): this host exposes 32 logical CPUs over 16
+    physical cores, so 8-vs-32 crosses the hyperthread boundary and
+    caps the measurable compute speedup near 2.4x regardless of the
+    engine (see BASELINE.md).  Override with GRAFT_SCALING_PAIR=8,32.
+    """
+    bench_web_path()   # build the cache once so both runs read warm input
+    pair = os.environ.get("GRAFT_SCALING_PAIR", "2,8")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True)
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        return json.loads(lines[-1])
+
+    lo, hi = run(n_lo), run(n_hi)
+    ratio = n_hi / n_lo
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / ratio
+    crawl_eff = (lo["queries"]["crawl"] / hi["queries"]["crawl"]) / ratio
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "crawl_sec_lo": lo["queries"]["crawl"],
+        "crawl_sec_hi": hi["queries"]["crawl"],
+        "crawl_pages_per_sec_lo": lo["crawl_pages_per_sec"],
+        "crawl_pages_per_sec_hi": hi["crawl_pages_per_sec"],
+        "crawl_scaling_efficiency": round(crawl_eff, 3),
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    # raylet warnings sometimes land on fd 1 even with log_to_driver=False;
+    # the contract is ONE JSON line on stdout, so reroute fd 1 to stderr
+    # for the duration of the run and write the JSON to the saved fd.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")
+    try:
+        result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    finally:
+        sys.stdout.flush()
+    os.write(real_stdout, (json.dumps(result) + "\n").encode())

@@ -76,6 +76,11 @@ class CrawlConfig:
     num_seen_shards: int = 4         # URL-seen bitset shard actors
     fetch_concurrency: int = 4       # fetch-join actor pool
     parse_batch_size: int = 256      # rows per parse map_batches batch
+    # ticks with at least this many rows run fetch+parse as a Ray Data
+    # streaming pipeline (the cluster-scale regime); smaller micro-ticks
+    # use plain Ray tasks with the same batch function to avoid the
+    # per-pipeline fixed cost
+    ray_data_min_tick_rows: int = 65536
     max_ticks: int = 100_000         # safety valve on the generation loop
     checkpoint_every: int = 0        # write frontier/seen snapshot every N ticks (0=off)
 

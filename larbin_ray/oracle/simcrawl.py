@@ -36,6 +36,10 @@ class CrawlResult:
     answers: Counter = field(default_factory=Counter)
     failures: list[tuple[str, str, tuple]] = field(default_factory=list)
     seen_indices: np.ndarray | None = None
+    n_fetched: int | None = None      # set by the engine in build_rows=False mode
+
+    def fetched_count(self) -> int:
+        return self.n_fetched if self.n_fetched is not None else len(self.fetched)
 
     def order_keys(self) -> list[tuple]:
         return [(r["tick"], r["ip"], 0 if r["is_robots"] else 1, r["sub"], r["url"])

@@ -2,41 +2,45 @@
 generation-synchronous Ray pipeline (SURVEY.md §3.1 "Ray lifecycle
 equivalent").
 
-Each simulated-time *tick* (politeness slot, see larbin_ray.state.sites)
-runs one Ray Data pipeline:
+Each simulated-time *tick* (politeness slot, see larbin_ray.state.sites):
 
-    dispatch rows (from scheduler shards)
-      -> map_batches(fetch)   : frontier ⨝ pages table (broadcast index)
-      -> map_batches(parse)   : HTTP parse + HTML link extraction (kernels)
-      -> materialize          : one tick's worth of blocks
-      -> page results         : recorded / written as Parquet per tick
-      -> candidate links      : barrier+sort admission through
-         scheduler shards (initOK fast-fails) -> seen shards (testSet)
-         -> scheduler shards (enqueue)
+    dispatch rows (from scheduler shards, one ``begin_tick`` RPC)
+      -> fetch+parse+submit   : frontier ⨝ pages table, HTTP parse, HTML
+         link extraction; each batch pushes its link candidates straight
+         to the owning scheduler shards (actor-to-actor — the driver
+         never touches per-candidate data)
+      -> dup barrier          : content-hash testSet in global fetch order
+      -> pre_admit barrier    : shards sort their candidates by the global
+         admission key (prio, ip, sub, link order), drop dup-parents, run
+         the initOK fast-fails
+      -> seen barrier         : the driver merges only (key, hashcode)
+         columns across shards, routes codes to the seen shards in global
+         order, and scatters verdicts back
+      -> enqueue              : each shard appends its new survivors to
+         its IP queues (every IP queue lives wholly in one shard, so
+         local sorted order == global order per queue)
 
-State lives only in the named actor tiers (scheduler shards keyed by
-politeness IP, seen/dup bitset shards keyed by hash code); every
-ordering decision is derived from the data keys (tick, ip, sub, link
-order), so the crawl output is bit-identical at any CPU count and any
-shard count — the oracle-equality tests assert exactly that.
+The fetch+parse stage runs as a Ray Data ``map_batches`` pipeline when
+the tick is large (>= cfg.ray_data_min_tick_rows — the cluster-scale
+regime where the streaming executor's fixed cost amortizes) and as
+plain Ray tasks below that (micro-ticks; same batch function, no
+semantic difference — verified by the oracle-equality tests either way).
 
-Driver-side routing note: candidate tables per tick are routed on the
-driver (sort + group by shard).  At 10^10-URL scale this step becomes a
-Dataset ``map_batches`` that calls the same shard RPCs with the same
-sort-at-barrier protocol — the actor interfaces are already
-batch-shaped for that.
+State lives only in the named actor tiers; every ordering decision is
+derived from data keys, so the crawl output is bit-identical at any CPU
+count and any shard count.
 """
 
 from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
-import ray.data as rd
 
 from larbin_ray.config import CrawlConfig
-from larbin_ray.kernels.textutil import match_priv_ext
 from larbin_ray.kernels.urlnorm import parse_url
 from larbin_ray.oracle.simcrawl import CrawlResult
 from larbin_ray.pipelines.extract import from_table
@@ -44,11 +48,6 @@ from larbin_ray.stages.fetch import make_fetch_fn, put_pages
 from larbin_ray.stages.parse import ParseExtract
 from larbin_ray.stages.scheduler import SchedulerShard, shard_of_host
 from larbin_ray.stages.seen import BitsetShard, gather_seen_indices
-
-
-def _flat(lists):
-    return [x for sub in lists for x in sub]
-
 
 DISPATCH_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -68,166 +67,335 @@ def _dispatch_table(rows: list[dict]) -> pa.Table:
                      for n, v in cols.items()})
 
 
+def _extract_entries(out: pa.Table, n_sched: int) -> dict[int, list]:
+    """Flatten the links column of a parse table into per-scheduler-shard
+    admission entries (prio, ip, sub, order, host, port, file, depth,
+    hash, parent_ip, parent_sub)."""
+    links = out["links"].combine_chunks()
+    flat = pc.list_flatten(links)
+    entries_by_shard: dict[int, list] = {}
+    if len(flat):
+        parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        ips = out["ip"].to_pylist()
+        subs = out["sub"].to_pylist()
+        hosts = pc.struct_field(flat, "host").to_pylist()
+        cols = {n: pc.struct_field(flat, n).to_pylist()
+                for n in ("prio", "order", "port", "file", "depth", "hash")}
+        for i, h in enumerate(hosts):
+            p = parent[i]
+            sid = shard_of_host(h.decode("latin-1"), n_sched)
+            entries_by_shard.setdefault(sid, []).append(
+                (cols["prio"][i], ips[p], subs[p], cols["order"][i],
+                 h, cols["port"][i], cols["file"][i], cols["depth"][i],
+                 cols["hash"][i], ips[p], subs[p]))
+    return entries_by_shard
+
+
+def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
+                   sched, n_sched: int) -> pa.Table:
+    """fetch -> parse -> push link candidates to their scheduler shards
+    (acked), return the parse table without the links column.  The
+    Ray Data variant of the stage (blocking ack per batch)."""
+    out = parse(fetch_fn(batch))
+    entries_by_shard = _extract_entries(out, n_sched)
+    if entries_by_shard:
+        ray.get([sched[sid].submit_links.remote(entries)
+                 for sid, entries in entries_by_shard.items()])
+    return out.drop_columns(["links"])
+
+
+@ray.remote
+def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
+                  n_sched: int, sink_path: str | None,
+                  keep_text: bool) -> tuple[pa.Table, dict]:
+    """Task variant: never blocks on the shard actors — per-shard entry
+    lists go to the object store and the refs ride back with the result
+    (a producer blocking on a shard RPC at high CPU counts triggers
+    Ray's blocked-worker spawning and a worker-churn spiral).
+
+    When ``sink_path`` is set the task writes its own slice of the page
+    table (with text) as Parquet — a distributed, resumable sink with no
+    driver involvement; the driver then only ever sees slim metadata
+    (text retained for robots rows, and for all rows in keep_text mode).
+    """
+    # the ref travels inside a list so Ray does not auto-dereference it —
+    # the per-worker fetch index cache is keyed by the ref
+    fetch_fn = make_fetch_fn(pages_ref_holder[0])
+    out = ParseExtract(cfg)(fetch_fn(batch))
+    entries_by_shard = _extract_entries(out, n_sched)
+    refs = {sid: ray.put(entries) for sid, entries in entries_by_shard.items()}
+    out = out.drop_columns(["links"])
+    if sink_path is not None:
+        import os
+
+        import pyarrow.parquet as pq
+        os.makedirs(os.path.dirname(sink_path), exist_ok=True)
+        pq.write_table(out, sink_path)
+    if not keep_text:
+        # blank non-robots text before shipping meta to the driver
+        mask = out["is_robots"]
+        text = pc.if_else(mask, out["text"], pa.scalar(b"", pa.binary()))
+        out = out.set_column(out.schema.get_field_index("text"), "text", text)
+    return out, refs
+
+
 def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
-              out_dir: str | None = None, max_ticks: int | None = None) -> CrawlResult:
-    """Run the full crawl; returns the same result shape as the oracle."""
+              out_dir: str | None = None, max_ticks: int | None = None,
+              build_rows: bool = True) -> CrawlResult:
+    """Run the full crawl; returns the same result shape as the oracle.
+    ``build_rows=False`` skips materializing ``res.fetched`` row dicts
+    (throughput mode: counts/answers/seen still populated)."""
     cfg = cfg or CrawlConfig()
     max_ticks = max_ticks or cfg.max_ticks
-    n_sched = cfg.num_scheduler_shards
-    n_seen = cfg.num_seen_shards
-    priv_exts = tuple(e.encode() for e in cfg.privileged_exts)
 
-    pages_ref = put_pages(pages)
-    fetch_fn = make_fetch_fn(pages_ref)
-    parse = ParseExtract(cfg)
-
-    sched = [SchedulerShard.remote(i, cfg) for i in range(n_sched)]
-    seen = [BitsetShard.remote(i, n_seen) for i in range(n_seen)]
-    dup = [BitsetShard.remote(i, n_seen) for i in range(n_seen)] \
-        if cfg.page_no_duplicate else None
-
-    res = CrawlResult()
-    keep_text = out_dir is None
+    sched = [SchedulerShard.remote(i, cfg) for i in range(cfg.num_scheduler_shards)]
+    seen = [BitsetShard.remote(i, cfg.num_seen_shards)
+            for i in range(cfg.num_seen_shards)]
+    dup = [BitsetShard.remote(i, cfg.num_seen_shards)
+           for i in range(cfg.num_seen_shards)] if cfg.page_no_duplicate else None
     try:
-        return _run_crawl(res, pages, seeds, cfg, out_dir, max_ticks,
-                          n_sched, n_seen, priv_exts, fetch_fn, parse,
-                          sched, seen, dup, keep_text)
+        return _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_rows)
     finally:
         for a in sched + seen + (dup or []):
             ray.kill(a)
 
 
-def _run_crawl(res, pages, seeds, cfg, out_dir, max_ticks, n_sched, n_seen,
-               priv_exts, fetch_fn, parse, sched, seen, dup, keep_text):
+def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
+                   dup_parents: list[tuple]) -> None:
+    """pre_admit -> seen -> enqueue across the shard tiers; the driver
+    moves only key/hash columns."""
+    n_seen = cfg.num_seen_shards
+    per_shard = ray.get([s.pre_admit_links.remote(dup_parents) for s in sched])
+    counts = [len(d["hash"]) for d in per_shard]
+    total = sum(counts)
+    if total == 0:
+        ray.get([s.enqueue_verdicts.remote([]) for s in sched])
+        return
+    origin = np.concatenate([np.full(c, sid, dtype=np.int64)
+                             for sid, c in enumerate(counts)])
+    local = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+    prio = np.concatenate([np.asarray(d["prio"], dtype=np.int64) for d in per_shard])
+    sub = np.concatenate([np.asarray(d["sub"], dtype=np.int64) for d in per_shard])
+    order = np.concatenate([np.asarray(d["order"], dtype=np.int64) for d in per_shard])
+    hashes = np.concatenate([np.asarray(d["hash"], dtype=np.int64) for d in per_shard])
+    # encode ip strings as their rank under string ordering so the big
+    # lexsort runs on ints (an object-dtype sort on the driver is serial
+    # poison when all cores are busy with workers)
+    all_ips = [i for d in per_shard for i in d["ip"]]
+    rank_of = {s: i for i, s in enumerate(sorted(set(all_ips)))}
+    ip = np.fromiter((rank_of[i] for i in all_ips), dtype=np.int64,
+                     count=len(all_ips))
+    g = np.lexsort((order, sub, ip, prio))       # global admission order
+    s_hash, s_origin, s_local = hashes[g], origin[g], local[g]
 
-    def admit_survivor_rows(survivors: list[tuple]) -> None:
-        """survivors: (akey, host, port, file, depth, hash) — run the
-        seen-set phase then enqueue the new ones, preserving akey order."""
-        if not survivors:
-            return
-        survivors.sort(key=lambda t: t[0])
-        by_seen: dict[int, list] = {}
-        for seq, (akey, _h, _p, _f, _d, hc) in enumerate(survivors):
-            by_seen.setdefault(hc % n_seen, []).append((akey, seq, hc))
-        futs = []
-        for sid, entries in by_seen.items():
-            seen[sid].submit.remote(entries)
-            futs.append(seen[sid].resolve.remote())
-        is_new = {}
-        for pairs in ray.get(futs):
-            for seq, new in pairs:
-                is_new[seq] = new
-        by_sched: dict[int, list] = {}
-        for seq, (akey, h, p, f, d, _hc) in enumerate(survivors):
-            if not is_new[seq]:
-                res.answers["urlDup"] += 1
-                continue
-            sid = shard_of_host(h.decode("latin-1"), n_sched)
-            by_sched.setdefault(sid, []).append((akey, h, p, f, d))
-        ray.get([sched[sid].enqueue.remote(sorted(rows))
-                 for sid, rows in by_sched.items()])
+    is_new = np.zeros(total, dtype=bool)
+    mod = s_hash % n_seen
+    futs, sels = [], []
+    for ssid in range(n_seen):
+        sel = np.flatnonzero(mod == ssid)
+        if len(sel):
+            futs.append(seen[ssid].test_set_sorted.remote(s_hash[sel].tolist()))
+            sels.append(sel)
+    for sel, verdicts in zip(sels, ray.get(futs)):
+        is_new[sel] = verdicts
+    res.answers["urlDup"] += int(total - is_new.sum())
+
+    enq = []
+    for sid, c in enumerate(counts):
+        v = np.zeros(c, dtype=bool)
+        mask = s_origin == sid
+        v[s_local[mask]] = is_new[mask]
+        enq.append(sched[sid].enqueue_verdicts.remote(v.tolist()))
+    ray.get(enq)
+
+
+def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_rows=True):
+    import os as _os
+    import time as _time
+    debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
+    phase_t: dict[str, float] = {}
+
+    def _clk(name, t0):
+        phase_t[name] = phase_t.get(name, 0.0) + _time.time() - t0
+
+    n_sched = cfg.num_scheduler_shards
+    n_seen = cfg.num_seen_shards
+    pages_ref = put_pages(pages)
+    fetch_fn = make_fetch_fn(pages_ref)
+    parse = ParseExtract(cfg)
+    res = CrawlResult()
+    keep_text = out_dir is None
+    meta_tables: list[pa.Table] = []
 
     # ---- seeds: straight through check() (global.cxx:284-297) ----
-    seed_rows = []
+    seed_entries: dict[int, list] = {}
     for i, s in enumerate(seeds):
         u = parse_url(s.encode("latin-1"), cfg.depth_in_site, None)
         if not u.is_valid():
             raise ValueError(f"invalid seed url: {s}")
-        akey = (-1, 0, "", 0, 0, i)
-        seed_rows.append((akey, u.host, u.port, u.file, u.depth, u.hash_code()))
-    admit_survivor_rows(seed_rows)
+        sid = shard_of_host(u.host.decode("latin-1"), n_sched)
+        seed_entries.setdefault(sid, []).append(
+            (0, "", 0, i, u.host, u.port, u.file, u.depth, u.hash_code(), "", -1))
+    ray.get([sched[sid].submit_links.remote(e) for sid, e in seed_entries.items()])
+    _admit_barrier(res, cfg, sched, seen, [])
 
     # ---- tick loop ----
     for tick in range(max_ticks):
-        robots_rows = _flat(ray.get([s.resolve_new_hosts.remote(tick) for s in sched]))
-        page_rows = _flat(ray.get([s.dispatch.remote(tick) for s in sched]))
-        if not robots_rows and not page_rows:
-            if sum(ray.get([s.queued_count.remote() for s in sched])) == 0:
+        _t0 = _time.time()
+        begins = ray.get([s.begin_tick.remote(tick) for s in sched])
+        _clk("begin", _t0)
+        robots_rows = [r for b in begins for r in b[0]]
+        n_pages_tick = sum(len(b[1]["url"]) for b in begins)
+        queued = sum(b[2] for b in begins)
+        if not robots_rows and n_pages_tick == 0:
+            if queued == 0:
                 break
             continue
 
-        tbl = _dispatch_table(robots_rows + page_rows)
-        blocks = max(1, min(32, tbl.num_rows // max(1, cfg.parse_batch_size // 4)))
-        ds = (from_table(tbl, blocks)
-              .map_batches(fetch_fn, batch_format="pyarrow",
-                           batch_size=cfg.parse_batch_size)
-              .map_batches(parse, batch_format="pyarrow",
-                           batch_size=cfg.parse_batch_size))
-        parsed = ds.materialize()
-        if out_dir is not None:
-            parsed.drop_columns(["links", "stateless_errors"]) \
-                  .write_parquet(f"{out_dir}/pages/tick={tick}")
-        ctrl = pa.concat_tables(ray.get(parsed.to_arrow_refs()))
-
-        rows = ctrl.to_pylist()
-        rows.sort(key=lambda r: (r["tick"], r["ip"], 0 if r["is_robots"] else 1, r["sub"]))
-
-        # content-dup resolution in fetch order
-        if dup is not None:
-            by_dup: dict[int, list] = {}
-            for seq, r in enumerate(rows):
-                if r["status"] == "success" and not r["is_robots"]:
-                    code = r["content_hash"]
-                    by_dup.setdefault(code % n_seen, []).append(((seq,), seq, code))
-            futs = []
-            for sid, entries in by_dup.items():
-                dup[sid].submit.remote(entries)
-                futs.append(dup[sid].resolve.remote())
-            dup_new = {seq: new for pairs in ray.get(futs) for seq, new in pairs}
+        cols = {f.name: [] for f in DISPATCH_SCHEMA}
+        for r in robots_rows:
+            for k in cols:
+                cols[k].append(r[k])
+        for b in begins:
+            for k in cols:
+                cols[k].extend(b[1][k])
+        tbl = pa.table({n: pa.array(v, DISPATCH_SCHEMA.field(n).type)
+                        for n, v in cols.items()})
+        bs = cfg.parse_batch_size
+        # the task path writes the sink itself unless dup-resolution must
+        # rewrite statuses first (driver writes in that case)
+        task_sink = out_dir is not None and not cfg.page_no_duplicate
+        ship_text = keep_text or (out_dir is not None and cfg.page_no_duplicate)
+        used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
+        if used_ray_data:
+            # cluster-scale path: Ray Data streaming pipeline
+            blocks = max(1, min(64, tbl.num_rows // bs))
+            ds = from_table(tbl, blocks).map_batches(
+                lambda b: _process_batch(b, fetch_fn, parse, sched, n_sched),
+                batch_format="pyarrow", batch_size=bs)
+            ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:
-            dup_new = None
+            futs = [
+                _process_task.remote(
+                    tbl.slice(i, bs), [pages_ref], cfg, n_sched,
+                    f"{out_dir}/pages/tick={tick}/part-{i // bs}.parquet"
+                    if task_sink else None,
+                    ship_text)
+                for i in range(0, tbl.num_rows, bs)]
+            _t0 = _time.time()
+            outs = ray.get(futs)
+            _clk("taskwave", _t0)
+            _t0 = _time.time()
+            ctrl = pa.concat_tables([o[0] for o in outs])
+            by_shard: dict[int, list] = {}
+            for _t, refs in outs:
+                for sid, ref in refs.items():
+                    by_shard.setdefault(sid, []).append(ref)
+            ray.get([sched[sid].submit_links_refs.remote(refs)
+                     for sid, refs in by_shard.items()])
+            _clk("submit_refs", _t0)
 
-        robots_by_shard: dict[int, list] = {}
-        candidates: list[tuple] = []
-        for seq, r in enumerate(rows):
-            if r["is_robots"]:
-                host_b = r["host"].encode("latin-1")
-                sid = shard_of_host(r["host"], n_sched)
-                robots_by_shard.setdefault(sid, []).append((host_b, r["port"], r["text"]))
-                res.fetched.append({
-                    "url": r["url"], "host": r["host"], "port": r["port"],
-                    "ip": r["ip"], "depth": r["depth"], "is_robots": True,
-                    "tick": r["tick"], "sub": r["sub"], "status": "robots",
-                    "text": r["text"] if keep_text else b""})
-                continue
-            st = r["status"]
-            links = r["links"] or []
-            for e in r["stateless_errors"] or []:
-                res.answers[e] += 1
-            if dup_new is not None and st == "success" and not dup_new.get(seq, True):
-                st, links = "duplicate", []   # file.cxx:583-588
-            res.answers[st] += 1
-            res.fetched.append({
-                "url": r["url"], "host": r["host"], "port": r["port"],
-                "ip": r["ip"], "depth": r["depth"], "is_robots": False,
-                "tick": r["tick"], "sub": r["sub"], "status": st,
-                "text": (r["text"] if (st == "success" and keep_text) else b"")})
-            pkey = (r["tick"], r["ip"], 1, r["sub"])
-            for d in links:
-                prio = -1 if (cfg.specific_search and priv_exts
-                              and match_priv_ext(d["file"], priv_exts)) else 0
-                candidates.append(((tick, prio) + pkey + (d["order"],),
-                                   d["host"], d["port"], d["file"], d["depth"], d["hash"]))
+        _t0 = _time.time()
+        ctrl = ctrl.sort_by([("tick", "ascending"), ("ip", "ascending"),
+                             ("is_robots", "descending"), ("sub", "ascending")])
+        is_rob = ctrl["is_robots"].to_numpy(zero_copy_only=False)
+        status = np.asarray(ctrl["status"].to_pylist(), dtype=object)
+        _clk("ctrl_sort", _t0)
 
+        # content-dup resolution in global fetch order (file.cxx:583-588)
+        dup_parents: list[tuple] = []
+        if dup is not None:
+            succ_idx = np.flatnonzero((status == "success") & ~is_rob)
+            codes = ctrl["content_hash"].to_numpy(zero_copy_only=False)[succ_idx]
+            dmod = codes % n_seen
+            d_futs, d_sel = [], []
+            for ssid in range(n_seen):
+                sel = np.flatnonzero(dmod == ssid)
+                if len(sel):
+                    d_futs.append(dup[ssid].test_set_sorted.remote(codes[sel].tolist()))
+                    d_sel.append(sel)
+            dup_rows = []
+            for sel, verdicts in zip(d_sel, ray.get(d_futs)):
+                dup_rows.extend(succ_idx[sel[~np.asarray(verdicts, dtype=bool)]])
+            if dup_rows:
+                dup_rows = np.asarray(sorted(dup_rows))
+                status[dup_rows] = "duplicate"
+                ips_np = np.asarray(ctrl["ip"].to_pylist(), dtype=object)
+                subs_np = ctrl["sub"].to_numpy(zero_copy_only=False)
+                dup_parents = [(ips_np[i], int(subs_np[i])) for i in dup_rows]
+
+        _t0 = _time.time()
+        # answers: fetch statuses + stateless extraction errors
+        res.answers.update(Counter(status[~is_rob].tolist()))
+        res.answers.update(Counter(pc.list_flatten(ctrl["stateless_errors"]).to_pylist()))
+
+        # robots bodies -> owning shards
+        rob_idx = np.flatnonzero(is_rob)
+        robots_payload: dict[int, list] = {}
+        hosts_col = ctrl["host"].to_pylist()
+        ports_col = ctrl["port"].to_pylist()
+        for i in rob_idx:
+            txt = ctrl["text"][int(i)].as_py()
+            sid = shard_of_host(hosts_col[i], n_sched)
+            robots_payload.setdefault(sid, []).append(
+                (hosts_col[i].encode("latin-1"), ports_col[i], txt))
         ray.get([sched[sid].robots_results.remote(items)
-                 for sid, items in robots_by_shard.items()])
+                 for sid, items in robots_payload.items()])
+        _clk("robots_mid", _t0)
+        _t0 = _time.time()
 
-        # route candidates: scheduler fast-fail phase
-        by_sched: dict[int, list] = {}
-        for c in candidates:
-            sid = shard_of_host(c[1].decode("latin-1"), n_sched)
-            by_sched.setdefault(sid, []).append(c)
-        futs = []
-        for sid, items in by_sched.items():
-            sched[sid].submit_candidates.remote(items)
-            futs.append(sched[sid].pre_admit.remote())
-        survivors = _flat(ray.get(futs))
-        admit_survivor_rows(survivors)
+        # record result meta (tables; dicts are built once at the end)
+        meta = ctrl.set_column(ctrl.schema.get_field_index("status"), "status",
+                               pa.array(status.tolist(), pa.string()))
+        meta = meta.drop_columns(["stateless_errors", "interesting"])
+        if out_dir is not None:
+            if used_ray_data or cfg.page_no_duplicate:
+                # statuses were rewritten (dup) or the Ray Data path ran
+                # without task-side sinks: write from the driver
+                import os
+
+                import pyarrow.parquet as pq
+                d = f"{out_dir}/pages/tick={tick}"
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(meta, f"{d}/part-0.parquet")
+            meta = meta.drop_columns(["text"])
+        meta_tables.append(meta)
+        _clk("meta", _t0)
+
+        _t0 = _time.time()
+        _admit_barrier(res, cfg, sched, seen, dup_parents)
+        _clk("admit", _t0)
+        if debug:
+            print(f"[tick {tick}] rows={tbl.num_rows} " +
+                  " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())),
+                  flush=True)
+            phase_t.clear()
 
         if cfg.limit_page and res.answers["success"] >= cfg.limit_page:
             break
 
-    # ---- collect final state ----
+    # ---- build the result rows once ----
+    res.n_fetched = sum(t.num_rows for t in meta_tables)
+    if not build_rows:
+        meta_tables.clear()
+    for t in meta_tables:
+        has_text = "text" in t.column_names
+        texts = t["text"].to_pylist() if has_text else None
+        cols = {n: t[n].to_pylist() for n in
+                ("url", "host", "port", "ip", "depth", "is_robots", "tick", "sub", "status")}
+        for i in range(t.num_rows):
+            st = cols["status"][i]
+            rob = cols["is_robots"][i]
+            txt = b""
+            if has_text and (rob or (keep_text and st == "success")):
+                txt = texts[i]
+            res.fetched.append({
+                "url": cols["url"][i], "host": cols["host"][i],
+                "port": cols["port"][i], "ip": cols["ip"][i],
+                "depth": cols["depth"][i], "is_robots": rob,
+                "tick": cols["tick"][i], "sub": cols["sub"][i],
+                "status": "robots" if rob else st, "text": txt})
+
     for st in ray.get([s.stats.remote() for s in sched]):
         res.answers.update(st["answers"])
         res.failures.extend(st["failures"])

@@ -17,14 +17,36 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return _sized_read(f"{sf_dir}/{table}.parquet", columns)
+
+def _sized_read(path: str, columns=None) -> rd.Dataset:
+    """read_parquet with a block count sized to the file (~8 MiB/block,
+    min 2): the default splitting of small files into cpu-count blocks
+    makes downstream groupby shuffles quadratically worse on a single
+    node (64 tiny blocks -> 20s for a 100k-row window aggregate vs 3s
+    at 4 blocks)."""
+    import os as _os
+    try:
+        nb = max(2, min(32, _os.path.getsize(path) // (8 << 20) + 1))
+    except OSError:
+        nb = 4
+    return rd.read_parquet(path, columns=columns, override_num_blocks=int(nb))
+
 
 
 def doc_count_by_lang_source(sf_dir: str) -> rd.Dataset:
     """groupby count — the crawl's answers[]-histogram analog
-    (debug.h:104 -> results.groupby(status).count())."""
+    (debug.h:104 -> results.groupby(status).count()).  Partial counts
+    per batch; the shuffle moves one row per (lang, source) per batch."""
     ds = _read(sf_dir, "documents", ["lang", "source"])
-    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("lang", "size"))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))
 
 
 def page_size_histogram(sf_dir: str, bucket: int = 128) -> rd.Dataset:
@@ -33,14 +55,17 @@ def page_size_histogram(sf_dir: str, bucket: int = 128) -> rd.Dataset:
     bucket.  Pre-aggregated per batch before the tiny groupby."""
     ds = _read(sf_dir, "documents", ["n_chars"])
 
-    def bucketize(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         b = pc.floor(pc.divide(t["n_chars"], bucket)).cast(pa.int64())
-        return pa.table({"bucket": b, "n_chars": t["n_chars"]})
+        tt = pa.table({"bucket": b, "n_chars": t["n_chars"]})
+        g = tt.group_by("bucket").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["bucket", "n_pages", "total_chars"])
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
-            .aggregate(Count(alias_name="n_pages"),
-                       Sum("n_chars", alias_name="total_chars")))
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Sum("total_chars", alias_name="total_chars")))
 
 
 def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
@@ -49,17 +74,21 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     for a closed batch input), then a small groupby."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def bucketize(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         epoch_us = t["ts"].cast(pa.int64())
         w = pc.multiply(pc.floor(pc.divide(epoch_us, window_s * 1_000_000))
                         .cast(pa.int64()), window_s * 1_000_000)
-        return pa.table({"window_start_us": w, "event_type": t["event_type"],
-                         "value": t["value"]})
+        tt = pa.table({"window_start_us": w, "event_type": t["event_type"],
+                       "value": t["value"]})
+        g = tt.group_by(["window_start_us", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["window_start_us", "event_type",
+                                 "n_events", "sum_value"])
 
-    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+    out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["window_start_us", "event_type"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value")))
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value")))
 
     def round_val(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
@@ -94,9 +123,15 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """sort + limit over a groupby sum (deterministic tie-break by
     user_id)."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = ds.groupby("user_id").aggregate(
-        Sum("value", alias_name="total_value"),
-        Count(alias_name="n_events")).to_pandas()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            total_value=("value", "sum"), n_events=("value", "size"))
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(Sum("total_value", alias_name="total_value"),
+                      Sum("n_events", alias_name="n_events"))).to_pandas()
     agg["total_value"] = agg["total_value"].round(2)
     agg = agg.sort_values(["total_value", "user_id"],
                           ascending=[False, True]).head(k)
@@ -111,15 +146,17 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
         seg = ray.get(seg_ref)
         df["c_mktsegment"] = df["o_custkey"].map(seg)
-        return df[["c_mktsegment", "o_totalprice"]]
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            revenue=("o_totalprice", "sum"))
 
-    out = (orders.map_batches(join, batch_format="pandas")
+    out = (orders.map_batches(join_partial, batch_format="pandas")
            .groupby("c_mktsegment")
-           .aggregate(Count(alias_name="n_orders"),
-                      Sum("o_totalprice", alias_name="revenue")))
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue", alias_name="revenue")))
 
     def round_rev(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("revenue"), "revenue",

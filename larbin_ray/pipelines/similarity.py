@@ -21,7 +21,8 @@ import ray.data as rd
 
 
 def load_embeddings(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from larbin_ray.pipelines.relational import _sized_read
+    return _sized_read(f"{sf_dir}/embeddings.parquet")
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

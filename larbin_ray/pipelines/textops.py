@@ -27,7 +27,8 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 def load_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from larbin_ray.pipelines.relational import _sized_read
+    return _sized_read(f"{sf_dir}/documents.parquet", columns)
 
 
 # ---------------------------------------------------------------------------
@@ -59,16 +60,21 @@ def dedup_exact_hash(sf_dir: str) -> rd.Dataset:
     Returns (doc_id, n_copies) for group keepers (min doc_id)."""
     ds = load_documents(sf_dir, ["doc_id", "text"])
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "h": [_md5_64(t) for t in df["text"]],
-        })
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"doc_id": df["doc_id"],
+                           "h": [_md5_64(t) for t in df["text"]]})
+        return df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
 
-    out = ds.map_batches(add_hash, batch_format="pandas") \
-            .groupby("h").aggregate(Min("doc_id", alias_name="doc_id"),
-                                    Count(alias_name="n_copies"))
-    return out.select_columns(["doc_id", "n_copies"])
+    # combiner pattern: per-batch partials, merged once (the partial set
+    # is one row per distinct hash per batch).  At 100-TB scale the merge
+    # becomes a hash-partitioned reduce (bucket by h % B -> per-bucket
+    # pandas merge); the driver-side merge here is the small-cardinality
+    # fast path.
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("h", as_index=False).agg(
+        doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+    return out[["doc_id", "n_copies"]]
 
 
 # ---------------------------------------------------------------------------
@@ -223,9 +229,11 @@ class MinHasher:
     actor from a fixed seed (deterministic across runs and actors)."""
 
     def __init__(self, num_hashes: int = 64, shingle: int = 3):
+        # a < 2^31 and shingle values < 2^32 keep a*x + b < 2^64: the
+        # permutation hash vectorizes in plain uint64 (no bigints)
         rng = np.random.RandomState(12345)
-        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_hashes).astype(np.uint64)
         self.num_hashes = num_hashes
         self.k = shingle
         self.ws = re.compile(r"\s+")
@@ -238,16 +246,14 @@ class MinHasher:
         # randomized per worker and would break LSH bucketing)
         vals = {zlib.crc32(" ".join(toks[i:i + self.k]).encode())
                 for i in range(len(toks) - self.k + 1)}
-        return np.fromiter(vals, dtype=np.int64, count=len(vals))
+        return np.fromiter(vals, dtype=np.uint64, count=len(vals))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
         if len(sh) == 0:
             return np.zeros(self.num_hashes, dtype=np.int64)
-        # (a*x + b) mod p, min over shingles — vectorized outer product
-        m = (sh[None, :].astype(object) * self.a[:, None].astype(object)
-             + self.b[:, None].astype(object)) % _MERSENNE
-        return np.asarray(m.min(axis=1), dtype=np.int64)
+        m = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return m.min(axis=1).astype(np.int64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sigs = [self.signature(t) for t in df["text"]]
@@ -268,10 +274,17 @@ def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame
 
 
 def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
-                       concurrency: int | None = None) -> rd.Dataset:
-    """documents -> minhash signatures -> banded LSH buckets ->
-    candidate pairs (doc_a < doc_b).  The groupby on (band, key) is the
-    only shuffle and moves ~16 ints per doc."""
+                       concurrency: int | None = None) -> pd.DataFrame:
+    """documents -> minhash signatures (distributed actor pool) -> banded
+    LSH buckets -> candidate pairs (doc_a < doc_b, with the band-match
+    count).
+
+    The signature + banding stages are distributed map_batches; the
+    bucket-join runs on the collected (band, key, doc_id) table — tiny
+    (bands x docs rows of ints).  At 10^10 docs that join becomes a
+    groupby((band, key)) shuffle whose groups-with->1-member emit pairs;
+    Ray's per-group map_groups costs a python call per *singleton*
+    bucket, which is the wrong trade below millions of docs."""
     from larbin_ray.pipelines import pool_size
     rows_per_band = num_hashes // bands
     ds = load_documents(sf_dir, ["doc_id", "text"])
@@ -279,20 +292,24 @@ def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
                           batch_format="pandas", concurrency=concurrency or pool_size(),
                           batch_size=512)
     banded = sigs.map_batches(
-        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas")
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        lambda df: _band_rows(df, bands, rows_per_band),
+        batch_format="pandas").to_pandas()
+    # vectorized pre-filter: only buckets with >= 2 members can emit pairs
+    banded = banded[banded.duplicated(["band", "key"], keep=False)]
+    pairs: dict[tuple, int] = {}
+    for _, group in banded.groupby(["band", "key"]):
         ids = sorted(group["doc_id"].unique())
-        a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = banded.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
-    # dedupe pairs found in several bands
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+                pairs[(ids[i], ids[j])] = pairs.get((ids[i], ids[j]), 0) + 1
+    if not pairs:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "n_bands": pd.array([], dtype="int64")})
+    items = sorted(pairs.items())
+    return pd.DataFrame({"doc_a": [k[0] for k, _ in items],
+                         "doc_b": [k[1] for k, _ in items],
+                         "n_bands": [v for _, v in items]})
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
@@ -301,8 +318,10 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
     at 100 TB it becomes a cogroup join of candidates with documents."""
     import ray
 
-    cand = minhash_candidates(sf_dir, **kw).to_pandas()
+    cand = minhash_candidates(sf_dir, **kw)
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
     docs = load_documents(sf_dir, ["doc_id", "text"]).to_pandas()
+    docs = docs[docs["doc_id"].isin(need)]
     mh = MinHasher()
     sh = {d: set(mh.shingles(t).tolist()) for d, t in zip(docs["doc_id"], docs["text"])}
     out = []

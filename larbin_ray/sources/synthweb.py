@@ -253,6 +253,13 @@ def default_seeds(n_domains: int = 12) -> list[str]:
     return seeds
 
 
+def breadth_seeds(n_domains: int, step: int = 4) -> list[str]:
+    """Bench seeding: one seed per ``step`` domains — broad fronts make
+    big politeness waves (the throughput configuration), while the
+    remaining domains are discovered through cross-links."""
+    return [f"http://{domain_name(d)}/p/0.html" for d in range(0, n_domains, step)]
+
+
 def write_web(path: str, n_pages: int, n_domains: int, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 

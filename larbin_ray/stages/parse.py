@@ -32,6 +32,7 @@ LINK_STRUCT = pa.struct([
     ("redir", pa.bool_()),
     ("order", pa.int32()),
     ("hash", pa.int64()),       # url.cxx:474-482 hashCode, precomputed in-stage
+    ("prio", pa.int8()),        # 0 = priority-ext url (specificSearch), 1 = normal
 ])
 
 PARSE_SCHEMA = pa.schema([
@@ -47,17 +48,21 @@ PARSE_SCHEMA = pa.schema([
 ])
 
 
-def candidate_dicts(res: ExtractResult) -> list[dict]:
+def candidate_dicts(res: ExtractResult, priv_exts: tuple[bytes, ...] = ()) -> list[dict]:
+    from larbin_ray.kernels.textutil import match_priv_ext
+
     return [
         {"host": c.url.host, "port": c.url.port, "file": c.url.file,
          "depth": c.url.depth, "redir": c.is_redir, "order": c.order,
-         "hash": c.url.hash_code()}
+         "hash": c.url.hash_code(),
+         "prio": 0 if (priv_exts and match_priv_ext(c.url.file, priv_exts)) else 1}
         for c in res.candidates
     ]
 
 
 def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
-              domains, forb) -> tuple[str, bytes, int, bool, list[dict], list[str]]:
+              domains, forb, priv_exts: tuple[bytes, ...] = ()
+              ) -> tuple[str, bytes, int, bool, list[dict], list[str]]:
     """-> (status, text, content_hash, interesting, links, stateless_errors).
 
     ``status`` here is pre-dedup: 'success' means an HTML body was parsed
@@ -77,14 +82,14 @@ def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
             base = here.give_base()
             nouv = parse_url(r.location, here.depth, base)  # same depth, file.cxx:550
             admit_link(nouv, here, True, cfg, 0, res, domains, forb)
-            links = candidate_dicts(res)
+            links = candidate_dicts(res, priv_exts)
             errors = res.errors
         return "err30X", b"", -1, False, links, errors
     if r.status != "html":
         return r.status, b"", -1, False, [], []
     chash = content_dup_code(r.body) if cfg.page_no_duplicate else -1
     res = extract_links(here, r.body, cfg, domains, forb)
-    return "success", r.body, chash, r.interesting, candidate_dicts(res), res.errors
+    return "success", r.body, chash, r.interesting, candidate_dicts(res, priv_exts), res.errors
 
 
 class ParseExtract:
@@ -94,6 +99,8 @@ class ParseExtract:
         self.cfg = cfg
         self.domains = cfg.domains_bytes()
         self.forb = cfg.forbidden_ext_bytes()
+        self.priv_exts = (tuple(e.encode() for e in cfg.privileged_exts)
+                          if cfg.specific_search else ())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -116,8 +123,8 @@ class ParseExtract:
                 links_col.append([])
                 err_col.append([])
                 continue
-            st, text, ch, inter, links, errs = parse_one(url_s, depth, raw, cfg,
-                                                         self.domains, self.forb)
+            st, text, ch, inter, links, errs = parse_one(
+                url_s, depth, raw, cfg, self.domains, self.forb, self.priv_exts)
             statuses.append(st)
             texts.append(text)
             chashes.append(ch)

@@ -27,19 +27,20 @@ from larbin_ray.config import CrawlConfig
 from larbin_ray.sources import dns as fixture_dns
 from larbin_ray.state.sites import SchedulerCore, UrlRec
 
-_SHARD_CACHE: dict[str, int] = {}
+_CRC_CACHE: dict[str, int] = {}
 
 
 def shard_of_host(host: str, num_shards: int) -> int:
     """Politeness-key sharding; memoized per process (the fixture DNS
-    hash is pure but not free)."""
-    hit = _SHARD_CACHE.get(host)
-    if hit is None:
+    hash is pure but not free).  The cache stores the raw crc so the
+    same process can serve crawls with different shard counts."""
+    crc = _CRC_CACHE.get(host)
+    if crc is None:
         _status, ip = fixture_dns.resolve(host)
         key = ip if ip is not None else host
-        hit = zlib.crc32(key.encode()) % max(num_shards, 1)
-        _SHARD_CACHE[host] = hit
-    return hit % max(num_shards, 1)
+        crc = zlib.crc32(key.encode())
+        _CRC_CACHE[host] = crc
+    return crc % max(num_shards, 1)
 
 
 class SchedulerShardCore:
@@ -67,6 +68,64 @@ class SchedulerShardCore:
     def enqueue(self, rows: list[tuple]) -> None:
         """rows: (akey, host, port, file, depth) sorted by akey."""
         self.core.enqueue([UrlRec(h, p, f, d, akey=k) for k, h, p, f, d in rows])
+
+    # ---- actor-to-actor link flow (no per-candidate driver work) ----
+    # Parse tasks push link entries here directly (any arrival order
+    # within a tick); at the tick barrier ``pre_admit_links`` sorts by
+    # the global admission key (prio, ip, sub, order), drops candidates
+    # whose parent page was a content-duplicate, runs the initOK
+    # fast-fails, and keeps the survivors locally.  The driver only
+    # merges the survivors' *keys + hash codes* across shards for the
+    # seen-set phase, then returns per-shard verdict booleans; the
+    # shard enqueues its own survivors (each IP queue lives wholly in
+    # one shard, so local sorted order == global order per queue).
+
+    def submit_links(self, entries: list[tuple]) -> None:
+        """entries: (prio, ip, sub, order, host, port, file, depth,
+        hash, parent_ip, parent_sub)."""
+        self._buffer.extend(entries)
+
+    def submit_links_refs(self, refs: list) -> None:
+        """Pull entry batches from the object store (the fetch+parse
+        tasks ray.put their per-shard entries and return the refs — no
+        producer ever blocks on this actor)."""
+        import ray as _ray
+        for entries in _ray.get(refs):
+            self._buffer.extend(entries)
+
+    def begin_tick(self, tick: int) -> tuple[list[dict], dict, int]:
+        robots_rows = self.core.resolve_new_hosts(tick)
+        page_cols = self.core.dispatch_columns(tick)
+        return robots_rows, page_cols, self.core.queued_count()
+
+    def pre_admit_links(self, dup_parents: list[tuple]) -> dict:
+        import numpy as np
+
+        dup = set(dup_parents)
+        buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
+        self._buffer = []
+        buf.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+        recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]))
+                for e in buf]
+        hcs = {id(r): e[8] for r, e in zip(recs, buf)}
+        self._survivors = self.core.pre_admit(recs)
+        # numpy for the numeric key columns (fast pickling + fast driver
+        # merge); ip stays a list of strings
+        return {
+            "prio": np.asarray([r.akey[0] for r in self._survivors], dtype=np.int64),
+            "ip": [r.akey[1] for r in self._survivors],
+            "sub": np.asarray([r.akey[2] for r in self._survivors], dtype=np.int64),
+            "order": np.asarray([r.akey[3] for r in self._survivors], dtype=np.int64),
+            "hash": np.asarray([hcs[id(r)] for r in self._survivors], dtype=np.int64),
+        }
+
+    def enqueue_verdicts(self, verdicts: list[bool]) -> int:
+        """verdicts aligned with the last pre_admit_links survivors (local
+        sorted order); enqueue the new ones."""
+        new = [r for r, v in zip(self._survivors, verdicts) if v]
+        self.core.enqueue(new)
+        self._survivors = []
+        return len(new)
 
     def resolve_new_hosts(self, tick: int) -> list[dict]:
         return self.core.resolve_new_hosts(tick)

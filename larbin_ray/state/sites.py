@@ -202,8 +202,11 @@ class SchedulerCore:
 
     # ---- tick phase: politeness dispatch ----
 
-    def dispatch(self, tick: int) -> list[dict]:
-        rows: list[dict] = []
+    def dispatch_columns(self, tick: int) -> dict[str, list]:
+        """Columnar dispatch (engine path): parallel lists, one entry per
+        dispatched url — avoids building a python dict per row."""
+        cols = {k: [] for k in ("url", "host", "port", "ip", "depth",
+                                "is_robots", "tick", "sub")}
         drain = self.cfg.wait_duration == 0
         for ip_str in sorted(self.ips):
             st = self.ips[ip_str]
@@ -213,20 +216,23 @@ class SchedulerCore:
             while st.queue:
                 rec = st.queue.popleft()
                 st.last_tick = tick
-                rows.append({
-                    "url": rec.url_str(),
-                    "host": rec.host.decode("latin-1"),
-                    "port": rec.port,
-                    "ip": ip_str,
-                    "depth": rec.depth,
-                    "is_robots": False,
-                    "tick": tick,
-                    "sub": sub,
-                })
+                cols["url"].append(rec.url_str())
+                cols["host"].append(rec.host.decode("latin-1"))
+                cols["port"].append(rec.port)
+                cols["ip"].append(ip_str)
+                cols["depth"].append(rec.depth)
+                cols["is_robots"].append(False)
+                cols["tick"].append(tick)
+                cols["sub"].append(sub)
                 sub += 1
                 if not drain:
                     break
-        return rows
+        return cols
+
+    def dispatch(self, tick: int) -> list[dict]:
+        cols = self.dispatch_columns(tick)
+        keys = list(cols)
+        return [dict(zip(keys, vals)) for vals in zip(*cols.values())]
 
     # ---- bookkeeping ----
 

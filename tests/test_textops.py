@@ -12,7 +12,8 @@ def test_dedup_exact_matches_hash_path(ray_session):
     from larbin_ray.pipelines.textops import dedup_exact, dedup_exact_hash
 
     a = dedup_exact(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    b = dedup_exact_hash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dedup_exact_hash(SF).sort_values("doc_id").reset_index(drop=True)
+    b = b.astype(a.dtypes.to_dict())
     assert a.equals(b)
     assert a["n_copies"].sum() == 500
 
