@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from larbin_ray.pipelines import relational as R
     from larbin_ray.pipelines import similarity as S
     from larbin_ray.pipelines import textops as T
+    from larbin_ray.pipelines.multimodal import media_features as _media_features
 
     def crawl_pages(sf_dir: str):
         import pandas as pd
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": T.simhash_dup_pairs,
         # text analysis
         "token_stats": T.token_stats,
+        "token_stats_bpe": T.token_stats_bpe,
         "quality_scores": T.quality_scores,
         "doc_fingerprint": T.doc_fingerprint,
         "rolling_fingerprint": T.rolling_fingerprint,
@@ -109,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
         "embedding_dup_pairs": S.embedding_dup_pairs,
+        # multimodal (binary media columns through actor-pool stages)
+        "media_features": _media_features,
     }
 
 
@@ -184,6 +188,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
                         AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars2
+            FROM documents
+        """,
+        "token_stats_bpe": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality_scores": f"""

@@ -141,10 +141,17 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
 
 def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
               out_dir: str | None = None, max_ticks: int | None = None,
-              build_rows: bool = True) -> CrawlResult:
+              build_rows: bool = True, checkpoint_dir: str | None = None,
+              resume: bool = False) -> CrawlResult:
     """Run the full crawl; returns the same result shape as the oracle.
+
     ``build_rows=False`` skips materializing ``res.fetched`` row dicts
-    (throughput mode: counts/answers/seen still populated)."""
+    (throughput mode: counts/answers/seen still populated).
+    ``checkpoint_dir`` + ``cfg.checkpoint_every`` write tick-boundary
+    checkpoints (frontier/hosts/seen partitions + metrics + manifest);
+    ``resume=True`` restores from ``checkpoint_dir`` and continues —
+    seeds are not re-admitted, shard counts may differ from the
+    checkpointing run."""
     cfg = cfg or CrawlConfig()
     max_ticks = max_ticks or cfg.max_ticks
 
@@ -154,7 +161,8 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
     dup = [BitsetShard.remote(i, cfg.num_seen_shards)
            for i in range(cfg.num_seen_shards)] if cfg.page_no_duplicate else None
     try:
-        return _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_rows)
+        return _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen,
+                          dup, build_rows, checkpoint_dir, resume)
     finally:
         for a in sched + seen + (dup or []):
             ray.kill(a)
@@ -209,7 +217,8 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     ray.get(enq)
 
 
-def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_rows=True):
+def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
+               build_rows=True, checkpoint_dir=None, resume=False):
     import os as _os
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
@@ -226,6 +235,15 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_ro
     res = CrawlResult()
     keep_text = out_dir is None
     meta_tables: list[pa.Table] = []
+    metrics_rows: list[dict] = []
+    start_tick = 0
+
+    if resume:
+        from larbin_ray.pipelines.checkpoint import restore_checkpoint
+        manifest = restore_checkpoint(checkpoint_dir, cfg, sched, seen, dup)
+        res.answers.update(manifest["answers"])
+        start_tick = manifest["next_tick"]
+        seeds = []   # already admitted by the checkpointing run
 
     # ---- seeds: straight through check() (global.cxx:284-297) ----
     seed_entries: dict[int, list] = {}
@@ -240,7 +258,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_ro
     _admit_barrier(res, cfg, sched, seen, [])
 
     # ---- tick loop ----
-    for tick in range(max_ticks):
+    for tick in range(start_tick, max_ticks):
         _t0 = _time.time()
         begins = ray.get([s.begin_tick.remote(tick) for s in sched])
         _clk("begin", _t0)
@@ -365,6 +383,25 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_ro
         _t0 = _time.time()
         _admit_barrier(res, cfg, sched, seen, dup_parents)
         _clk("admit", _t0)
+
+        metrics_rows.append({
+            "tick": tick, "rows": tbl.num_rows,
+            "robots": int(len(robots_rows)),
+            "pages": int(n_pages_tick),
+            "cum_success": int(res.answers["success"]),
+            "cum_url_dup": int(res.answers["urlDup"]),
+        })
+        if (checkpoint_dir and cfg.checkpoint_every
+                and (tick + 1) % cfg.checkpoint_every == 0):
+            from larbin_ray.pipelines.checkpoint import write_checkpoint
+
+            # manifest answers must include the shard-held counters
+            # (noDNS/fastRobots/... live in the scheduler cores)
+            ck_answers = Counter(res.answers)
+            for st in ray.get([s.stats.remote() for s in sched]):
+                ck_answers.update(st["answers"])
+            write_checkpoint(checkpoint_dir, tick + 1, cfg, sched, seen, dup,
+                             ck_answers, metrics_rows)
         if debug:
             print(f"[tick {tick}] rows={tbl.num_rows} " +
                   " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())),
@@ -400,4 +437,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup, build_ro
         res.answers.update(st["answers"])
         res.failures.extend(st["failures"])
     res.seen_indices = gather_seen_indices(seen)
+    if checkpoint_dir and metrics_rows:
+        import pyarrow.parquet as pq
+        pq.write_table(pa.Table.from_pylist(metrics_rows),
+                       f"{checkpoint_dir}/metrics.parquet")
     return res

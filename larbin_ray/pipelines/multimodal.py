@@ -1,0 +1,243 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode/resize/feature stages are the real Ray-side plumbing a
+100-TB media pipeline needs — schema, actor signatures, batch sizing
+for large binary rows, partitioned output layout.  The codec layer
+itself is pluggable: this container ships no image/audio libraries, so
+the default backend is a clearly-marked DETERMINISTIC FAKE that derives
+pixel/sample arrays from the payload bytes (stable across runs and
+workers); ``PilBackend``/``SoundfileBackend`` slot in when the real
+libraries exist (import-guarded).
+
+Batch-size note: rows carry payloads of 10s-100s of KiB, so stages use
+small ``batch_size`` (32-128) to keep batch x concurrency within worker
+heap — the guidance from SURVEY.md §4 memory-awareness applied to wide
+binary rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # image | audio | video
+    ("payload", pa.binary()),
+    ("width", pa.int32()),          # images/video
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),    # audio
+    ("duration_ms", pa.int32()),    # audio/video
+    ("codec", pa.string()),
+])
+
+
+def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (payloads are seeded noise —
+    stand-ins for real encoded bytes)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = int(rng.randint(2_000, 40_000))
+        payload = rng.bytes(size)
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["width"].append(int(rng.choice([320, 640, 1024])) if kind != "audio" else 0)
+        rows["height"].append(int(rng.choice([240, 480, 768])) if kind != "audio" else 0)
+        rows["sample_rate"].append(16_000 if kind == "audio" else 0)
+        rows["duration_ms"].append(int(rng.randint(500, 30_000)) if kind != "image" else 0)
+        rows["codec"].append({"image": "fake-jpeg", "audio": "fake-pcm",
+                              "video": "fake-h264"}[kind])
+    return pa.table({k.name: pa.array(rows[k.name], k.type) for k in MEDIA_SCHEMA})
+
+
+class FakeCodecBackend:
+    """DETERMINISTIC FAKE decode backend (STUB — the container has no
+    PIL/soundfile/ffmpeg).  Arrays derive from a crc32 of the payload,
+    so outputs are identical on every worker and every run.  A real
+    deployment swaps in PilBackend / SoundfileBackend below."""
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        rng = np.random.RandomState(zlib.crc32(payload) & 0x7FFFFFFF)
+        w, h = max(1, width) % 64 + 8, max(1, height) % 64 + 8   # bounded fake
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes, sample_rate: int,
+                     duration_ms: int) -> np.ndarray:
+        rng = np.random.RandomState(zlib.crc32(payload) & 0x7FFFFFFF)
+        n = max(8, min(16_000, sample_rate * duration_ms // 1000 // 100))
+        return (rng.rand(n) * 2 - 1).astype(np.float32)
+
+    def frame_count(self, duration_ms: int) -> int:
+        return max(1, duration_ms * 25 // 1000)   # fake 25fps
+
+
+class PilBackend(FakeCodecBackend):
+    """Real image decoding when Pillow is available."""
+
+    def __init__(self):
+        import io
+
+        from PIL import Image  # raises ImportError if absent
+        self._Image = Image
+        self._io = io
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        img = self._Image.open(self._io.BytesIO(payload))
+        return np.asarray(img.convert("RGB"))
+
+
+def default_backend() -> FakeCodecBackend:
+    try:
+        return PilBackend()
+    except ImportError:
+        return FakeCodecBackend()
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode + pixel statistics (+ thumbnail dims).
+    Backend constructed ONCE per actor (the model-load slot)."""
+
+    def __init__(self, thumb: int = 32):
+        self.backend = default_backend()
+        self.thumb = thumb
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        means, stds, shapes_w, shapes_h, thumbs_w, thumbs_h = [], [], [], [], [], []
+        for payload, w, h in zip(t["payload"].to_pylist(),
+                                 t["width"].to_pylist(), t["height"].to_pylist()):
+            arr = self.backend.decode_image(payload, w, h)
+            means.append(round(float(arr.mean()), 4))
+            stds.append(round(float(arr.std()), 4))
+            shapes_h.append(arr.shape[0])
+            shapes_w.append(arr.shape[1])
+            scale = max(arr.shape[0], arr.shape[1]) / self.thumb
+            thumbs_h.append(max(1, int(arr.shape[0] / scale)))
+            thumbs_w.append(max(1, int(arr.shape[1] / scale)))
+        return pa.table({
+            "media_id": t["media_id"],
+            "px_mean": pa.array(means, pa.float64()),
+            "px_std": pa.array(stds, pa.float64()),
+            "decoded_w": pa.array(shapes_w, pa.int32()),
+            "decoded_h": pa.array(shapes_h, pa.int32()),
+            "thumb_w": pa.array(thumbs_w, pa.int32()),
+            "thumb_h": pa.array(thumbs_h, pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """Actor-pool stage: waveform stats (rms, zero-crossing rate)."""
+
+    def __init__(self):
+        self.backend = default_backend()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rms, zcr, n_samples = [], [], []
+        for payload, sr, dur in zip(t["payload"].to_pylist(),
+                                    t["sample_rate"].to_pylist(),
+                                    t["duration_ms"].to_pylist()):
+            wave = self.backend.decode_audio(payload, sr, dur)
+            rms.append(round(float(np.sqrt((wave ** 2).mean())), 6))
+            zcr.append(round(float((np.diff(np.sign(wave)) != 0).mean()), 6))
+            n_samples.append(len(wave))
+        return pa.table({
+            "media_id": t["media_id"],
+            "rms": pa.array(rms, pa.float64()),
+            "zcr": pa.array(zcr, pa.float64()),
+            "n_samples": pa.array(n_samples, pa.int64()),
+        })
+
+
+class VideoFrameSample:
+    """Actor-pool stage: sample every Nth frame, emit per-frame feature
+    rows (explodes: one input row -> many output rows)."""
+
+    def __init__(self, every_n: int = 50):
+        self.backend = default_backend()
+        self.every_n = every_n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mids, frames, feats = [], [], []
+        for mid, payload, dur in zip(t["media_id"].to_pylist(),
+                                     t["payload"].to_pylist(),
+                                     t["duration_ms"].to_pylist()):
+            total = self.backend.frame_count(dur)
+            for f in range(0, total, self.every_n):
+                mids.append(mid)
+                frames.append(f)
+                feats.append(round(
+                    float(zlib.crc32(payload + f.to_bytes(4, "big")) % 1000) / 1000, 6))
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "frame": pa.array(frames, pa.int32()),
+            "frame_feat": pa.array(feats, pa.float64()),
+        })
+
+
+class MediaEmbedder:
+    """Actor-pool stage: payload -> deterministic pseudo-embedding (the
+    model-inference slot; md5-seeded so it is stable everywhere)."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for payload in t["payload"].to_pylist():
+            seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+            v = np.random.RandomState(seed).randn(self.dim)
+            v /= np.linalg.norm(v)
+            out.append(np.round(v, 6).tolist())
+        return pa.table({
+            "media_id": t["media_id"],
+            "embedding": pa.array(out, pa.list_(pa.float64())),
+        })
+
+
+def media_pipeline(media: pa.Table, out_dir: str | None = None,
+                   concurrency: int | None = None) -> dict[str, rd.Dataset]:
+    """Route each kind to its stage; optionally write Parquet partitioned
+    by kind (the resumable layout).  Returns the per-kind datasets."""
+    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines.extract import from_table
+
+    c = concurrency or pool_size()
+    ds = from_table(media, 8)
+    images = ds.filter(expr="kind == 'image'").map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=64, concurrency=c)
+    audio = ds.filter(expr="kind == 'audio'").map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=c)
+    video = ds.filter(expr="kind == 'video'").map_batches(
+        VideoFrameSample, batch_format="pyarrow", batch_size=32, concurrency=c)
+    embed = ds.map_batches(MediaEmbedder, batch_format="pyarrow",
+                           batch_size=64, concurrency=c)
+    out = {"image": images, "audio": audio, "video": video, "embedding": embed}
+    if out_dir:
+        for kind, d in out.items():
+            d.write_parquet(f"{out_dir}/kind={kind}")
+    return out
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """queries() entry: summary row per media item (rows-only check)."""
+    n = 120 if "0.001" in sf_dir else 360
+    media = gen_media(n, seed=42)
+    out = media_pipeline(media)
+    img = out["image"].to_pandas()
+    aud = out["audio"].to_pandas()
+    vid = out["video"].to_pandas().groupby("media_id", as_index=False).agg(
+        n_frames=("frame", "size"))
+    base = media.select(["media_id", "kind"]).to_pandas()
+    merged = (base.merge(img, on="media_id", how="left")
+                  .merge(aud, on="media_id", how="left")
+                  .merge(vid, on="media_id", how="left"))
+    return merged.sort_values("media_id").reset_index(drop=True)

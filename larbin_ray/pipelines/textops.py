@@ -97,6 +97,26 @@ def token_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pandas")
 
 
+# BPE-ish pre-tokenizer (GPT-2-style contraction/letter/number/punct
+# classes, ASCII form so python re and DuckDB RE2 agree byte-for-byte)
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def token_stats_bpe(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens) — BPE-style pre-tokenization count.
+    SQL oracle: length(regexp_extract_all(text, BPE_PATTERN))."""
+    ds = load_documents(sf_dir, ["doc_id", "text"])
+    pat = re.compile(BPE_PATTERN)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": [len(pat.findall(t)) for t in df["text"]],
+        }).astype({"n_bpe_tokens": "int64"})
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 class QualityScorer:
     """Actor-pool stage: stopword/punct/length quality signals.  Regexes
     compiled once per actor (SURVEY.md actor-pool pattern)."""

@@ -146,6 +146,98 @@ class SchedulerShardCore:
                 "hosts": len(self.core.hosts),
                 "ips": len(self.core.ips)}
 
+    # ---- checkpoint / restore (SURVEY.md K6/K7, S3/S4) ----
+    # The reference persists disk fifos + the seen bitset on a rotation
+    # cadence (persistent_fifo.cxx:201-216, hash_table.cxx:78-88); here a
+    # shard serializes its frontier (IP queues + per-host pending, with
+    # positions) and its host table (dns state + robots patterns) as
+    # Arrow tables the driver writes per-partition.  Restore re-routes by
+    # the politeness key, so the shard count may change between runs.
+
+    def checkpoint_tables(self):
+        import pyarrow as _pa
+        f_host, f_port, f_file, f_depth, f_ip, f_kind, f_pos = [], [], [], [], [], [], []
+        for ip_str, st in self.core.ips.items():
+            for pos, rec in enumerate(st.queue):
+                f_host.append(rec.host)
+                f_port.append(rec.port)
+                f_file.append(rec.file)
+                f_depth.append(rec.depth)
+                f_ip.append(ip_str)
+                f_kind.append("queue")
+                f_pos.append(pos)
+        for (hname, hport), h in self.core.hosts.items():
+            for pos, rec in enumerate(h.pending):
+                f_host.append(rec.host)
+                f_port.append(rec.port)
+                f_file.append(rec.file)
+                f_depth.append(rec.depth)
+                f_ip.append("")
+                f_kind.append("pending")
+                f_pos.append(pos)
+        frontier = _pa.table({
+            "host": _pa.array(f_host, _pa.binary()),
+            "port": _pa.array(f_port, _pa.int32()),
+            "file": _pa.array(f_file, _pa.binary()),
+            "depth": _pa.array(f_depth, _pa.int32()),
+            "ip": _pa.array(f_ip, _pa.string()),
+            "kind": _pa.array(f_kind, _pa.string()),
+            "pos": _pa.array(f_pos, _pa.int64()),
+        })
+        rank = {k: i for i, k in enumerate(self.core.unresolved)}
+        hosts = _pa.table({
+            "host": _pa.array([k[0] for k in self.core.hosts], _pa.binary()),
+            "port": _pa.array([k[1] for k in self.core.hosts], _pa.int32()),
+            "dns_state": _pa.array([h.dns_state for h in self.core.hosts.values()],
+                                   _pa.string()),
+            "ip": _pa.array([h.ip or "" for h in self.core.hosts.values()],
+                            _pa.string()),
+            "robots": _pa.array([list(h.robots) for h in self.core.hosts.values()],
+                                _pa.list_(_pa.binary())),
+            "robots_inflight": _pa.array(
+                [h.robots_inflight for h in self.core.hosts.values()], _pa.bool_()),
+            "unresolved_rank": _pa.array(
+                [rank.get(k, -1) for k in self.core.hosts], _pa.int64()),
+        })
+        return frontier, hosts
+
+    def restore(self, frontier, hosts) -> None:
+        """Rebuild state from checkpoint tables (rows already filtered to
+        this shard, any previous shard count)."""
+        from collections import deque as _dq
+
+        from larbin_ray.state.sites import HostState, IPState
+        core = self.core
+        ranked = sorted(
+            zip(hosts["unresolved_rank"].to_pylist(), hosts["host"].to_pylist(),
+                hosts["port"].to_pylist(), hosts["dns_state"].to_pylist(),
+                hosts["ip"].to_pylist(), hosts["robots"].to_pylist(),
+                hosts["robots_inflight"].to_pylist()),
+            key=lambda t: (t[0] < 0, t[0]))
+        for rank, hname, hport, dstate, hip, robots, inflight in ranked:
+            if inflight:
+                # a checkpoint is taken at a tick boundary, where no robots
+                # fetch is in flight; defensively re-resolve if one ever is
+                dstate, inflight = "wait", False
+            h = HostState(hname, hport, dns_state=dstate, ip=hip or None,
+                          robots=list(robots or []),
+                          robots_inflight=False)
+            core.hosts[(hname, hport)] = h
+            if dstate == "wait":
+                core.unresolved.append((hname, hport))
+            if hip:
+                core.ips.setdefault(hip, IPState())
+        rows = sorted(zip(frontier["ip"].to_pylist(), frontier["pos"].to_pylist(),
+                          frontier["kind"].to_pylist(), frontier["host"].to_pylist(),
+                          frontier["port"].to_pylist(), frontier["file"].to_pylist(),
+                          frontier["depth"].to_pylist()))
+        for ip_str, _pos, kind, hname, hport, file, depth in rows:
+            rec = UrlRec(hname, hport, file, depth)
+            if kind == "queue":
+                core.ips.setdefault(ip_str, IPState()).queue.append(rec)
+            else:
+                core.hosts[(hname, hport)].pending.append(rec)
+
 
 @ray.remote
 class SchedulerShard(SchedulerShardCore):

@@ -58,6 +58,11 @@ class BitsetShardCore:
     def load_table(self, b: bytes) -> None:
         self.bitset.table = np.frombuffer(b, dtype=np.uint8).copy()
 
+    def load_codes(self, codes: list[int]) -> None:
+        """Restore from global bit indices (checkpoint resharding path)."""
+        for c in codes:
+            self.bitset.test_set(c // self.num_shards)
+
 
 @ray.remote
 class BitsetShard(BitsetShardCore):

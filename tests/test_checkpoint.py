@@ -1,0 +1,81 @@
+"""Checkpoint/resume: an interrupted crawl resumed from its last
+tick-boundary checkpoint (even with different shard counts) must end in
+the same final state as an uninterrupted run — same answers histogram,
+same URL-seen bitset, same sink pages."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+
+@pytest.fixture(scope="module")
+def web():
+    return gen_web(60, 6, seed=42)
+
+
+def _count_sink(out_dir):
+    files = glob.glob(f"{out_dir}/pages/tick=*/part-*.parquet")
+    n = 0
+    by_status = {}
+    for f in files:
+        t = pq.read_table(f, columns=["status", "is_robots"])
+        n += t.num_rows
+        for s in t["status"].to_pylist():
+            by_status[s] = by_status.get(s, 0) + 1
+    return n, by_status
+
+
+def test_resume_equals_uninterrupted(ray_session, web, tmp_path):
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=3,
+                      num_seen_shards=2, checkpoint_every=4)
+
+    full = ray_crawl(web, seeds, cfg, out_dir=str(tmp_path / "full"))
+
+    # interrupted run: stops mid-crawl right at a checkpoint boundary
+    ck = str(tmp_path / "ck")
+    part_out = str(tmp_path / "parts")
+    ray_crawl(web, seeds, cfg, out_dir=part_out, checkpoint_dir=ck,
+              max_ticks=8)
+    assert os.path.exists(f"{ck}/manifest.json")
+    assert os.path.exists(f"{ck}/metrics.parquet")
+
+    # resume with DIFFERENT shard counts
+    cfg2 = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                       num_seen_shards=3, checkpoint_every=4)
+    resumed = ray_crawl(web, seeds, cfg2, out_dir=part_out,
+                        checkpoint_dir=ck, resume=True)
+
+    assert dict(resumed.answers) == dict(full.answers)
+    assert np.array_equal(resumed.seen_indices, full.seen_indices)
+    n_full, st_full = _count_sink(str(tmp_path / "full"))
+    n_part, st_part = _count_sink(part_out)
+    assert n_full == n_part
+    assert st_full == st_part
+
+
+def test_checkpoint_metrics_lineage(ray_session, web, tmp_path):
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2, checkpoint_every=3)
+    ck = str(tmp_path / "ck2")
+    ray_crawl(web, default_seeds(6), cfg, out_dir=str(tmp_path / "o2"),
+              checkpoint_dir=ck)
+    m = pq.read_table(f"{ck}/metrics.parquet").to_pylist()
+    assert len(m) >= 3
+    assert m[-1]["cum_success"] > 0
+    ticks = [r["tick"] for r in m]
+    assert ticks == sorted(ticks)
+    # per-partition frontier/hosts/seen files exist
+    assert glob.glob(f"{ck}/frontier/shard=*.parquet")
+    assert glob.glob(f"{ck}/hosts/shard=*.parquet")
+    assert glob.glob(f"{ck}/seen/shard=*.npy")
