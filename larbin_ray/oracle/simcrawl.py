@@ -55,7 +55,11 @@ class CrawlResult:
 
 
 def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
-                 max_ticks: int | None = None) -> CrawlResult:
+                 max_ticks: int | None = None,
+                 inject: dict[int, list[str]] | None = None) -> CrawlResult:
+    """``inject`` maps tick -> urls submitted at that tick's start — the
+    batch equivalent of the reference's TCP input port (io/input.cxx:
+    60-187): submissions run straight through check() like seeds."""
     cfg = cfg or CrawlConfig()
     max_ticks = max_ticks or cfg.max_ticks
     index = {u: h for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist())}
@@ -91,10 +95,16 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
 
     # ---- tick loop ----
     for tick in range(max_ticks):
+        for i, s_url in enumerate((inject or {}).get(tick, [])):
+            u = parse_url(s_url.encode("latin-1"), cfg.depth_in_site, None)
+            if u.is_valid():
+                admit(UrlRec(u.host, u.port, u.file, u.depth,
+                             akey=(tick, -2, "", 0, 0, i)), skip_fast=True)
         robots_rows = core.resolve_new_hosts(tick)
         page_rows = core.dispatch(tick)
         if not robots_rows and not page_rows:
-            if core.queued_count() == 0:
+            if core.queued_count() == 0 and not any(
+                    t > tick for t in (inject or {})):
                 break
             continue
 

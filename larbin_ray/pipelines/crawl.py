@@ -142,7 +142,8 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
 def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
               out_dir: str | None = None, max_ticks: int | None = None,
               build_rows: bool = True, checkpoint_dir: str | None = None,
-              resume: bool = False) -> CrawlResult:
+              resume: bool = False,
+              inject: dict[int, list[str]] | None = None) -> CrawlResult:
     """Run the full crawl; returns the same result shape as the oracle.
 
     ``build_rows=False`` skips materializing ``res.fetched`` row dicts
@@ -162,7 +163,7 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
            for i in range(cfg.num_seen_shards)] if cfg.page_no_duplicate else None
     try:
         return _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen,
-                          dup, build_rows, checkpoint_dir, resume)
+                          dup, build_rows, checkpoint_dir, resume, inject)
     finally:
         for a in sched + seen + (dup or []):
             ray.kill(a)
@@ -218,7 +219,7 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
 
 
 def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
-               build_rows=True, checkpoint_dir=None, resume=False):
+               build_rows=True, checkpoint_dir=None, resume=False, inject=None):
     import os as _os
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
@@ -259,6 +260,21 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
 
     # ---- tick loop ----
     for tick in range(start_tick, max_ticks):
+        injected = (inject or {}).get(tick, [])
+        if injected:
+            # S2 input-port equivalent: submissions run straight through
+            # check() like seeds (io/input.cxx:147-159 semantics, test=1)
+            inj_entries: dict[int, list] = {}
+            for i, s_url in enumerate(injected):
+                u = parse_url(s_url.encode("latin-1"), cfg.depth_in_site, None)
+                if u.is_valid():
+                    sid = shard_of_host(u.host.decode("latin-1"), n_sched)
+                    inj_entries.setdefault(sid, []).append(
+                        (0, "", 0, i, u.host, u.port, u.file, u.depth,
+                         u.hash_code(), "", -1))
+            ray.get([sched[sid].submit_links.remote(e)
+                     for sid, e in inj_entries.items()])
+            _admit_barrier(res, cfg, sched, seen, [])
         _t0 = _time.time()
         begins = ray.get([s.begin_tick.remote(tick) for s in sched])
         _clk("begin", _t0)
@@ -266,7 +282,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         n_pages_tick = sum(len(b[1]["url"]) for b in begins)
         queued = sum(b[2] for b in begins)
         if not robots_rows and n_pages_tick == 0:
-            if queued == 0:
+            if queued == 0 and not any(t > tick for t in (inject or {})):
                 break
             continue
 

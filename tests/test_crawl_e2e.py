@@ -85,3 +85,33 @@ def test_oracle_politeness(oracle_result):
     c = Counter((r["tick"], r["ip"]) for r in oracle_result.fetched
                 if not r["is_robots"])
     assert max(c.values()) == 1
+
+
+def test_url_injection_matches(ray_session, web, seeds):
+    """S2 input-port equivalent: urls injected at tick starts run through
+    check() like seeds; engine == oracle with injections."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2)
+    inject = {3: ["http://sitee.example/p/0.html"],
+              6: ["http://10.77.0.1/ip.html", "http://sitef.example/p/0.html"]}
+    o = oracle_crawl(web, seeds, cfg, inject=inject)
+    e = ray_crawl(web, seeds, cfg, inject=inject)
+    assert_same_crawl(o, e)
+    injected_urls = {u for us in inject.values() for u in us}
+    fetched_urls = {r["url"] for r in o.fetched}
+    assert injected_urls & fetched_urls
+
+
+def test_specific_search_priority_matches(ray_session, web, seeds):
+    """specificSearch: privileged-extension urls route via the priority
+    queue (checker.cxx:50-56) -> sort first at admission; engine == oracle."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(depth_by_site=True, specific_search=True,
+                      content_types=("text/plain",), privileged_exts=(".htm",),
+                      num_scheduler_shards=2, num_seen_shards=2)
+    o = oracle_crawl(web, seeds, cfg)
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(o, e)
