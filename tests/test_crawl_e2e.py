@@ -115,3 +115,21 @@ def test_specific_search_priority_matches(ray_session, web, seeds):
     o = oracle_crawl(web, seeds, cfg)
     e = ray_crawl(web, seeds, cfg)
     assert_same_crawl(o, e)
+
+
+def test_kitchen_sink_profile_matches(ray_session, web, seeds):
+    """The larbin-test.conf flag set (getImage, getCGI, anyType,
+    pageNoDuplicate — SURVEY.md §5): exercises the image-tag, CGI-link
+    and any-content-type paths end to end; engine == oracle."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(depth_by_site=True, get_image=True, get_cgi=True,
+                      any_type=True, page_no_duplicate=True,
+                      num_scheduler_shards=2, num_seen_shards=2)
+    o = oracle_crawl(web, seeds, cfg)
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(o, e)
+    # anyType turns former badType fetches into successes; CGI links are
+    # now admitted (the /search.html?q=1 decoy becomes crawlable)
+    assert o.answers.get("badType", 0) == 0
+    assert any("?q=1" in r["url"] for r in o.fetched)
