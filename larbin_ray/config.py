@@ -10,7 +10,7 @@ reproduces it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # forbiddenExtensions block of /root/reference/larbin.conf (lowercased at

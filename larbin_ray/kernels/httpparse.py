@@ -29,7 +29,7 @@ than the compared prefix.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from larbin_ray.config import CrawlConfig, MAX_PAGE_SIZE
 from larbin_ray.kernels.textutil import match_content_type, start_with_ignore_case

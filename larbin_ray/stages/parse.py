@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from larbin_ray.config import CrawlConfig
-from larbin_ray.kernels.extract import Candidate, ExtractResult, admit_link, extract_links
+from larbin_ray.kernels.extract import ExtractResult, admit_link, extract_links
 from larbin_ray.kernels.httpparse import content_dup_code, parse_response
 from larbin_ray.kernels.urlnorm import Url, parse_url
 

@@ -204,8 +204,6 @@ class SchedulerShardCore:
     def restore(self, frontier, hosts) -> None:
         """Rebuild state from checkpoint tables (rows already filtered to
         this shard, any previous shard count)."""
-        from collections import deque as _dq
-
         from larbin_ray.state.sites import HostState, IPState
         core = self.core
         ranked = sorted(
