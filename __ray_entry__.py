@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": S.embedding_dup_pairs,
         # multimodal (binary media columns through actor-pool stages)
         "media_features": _media_features,
+        # composite curation (dedup keeper + quality gates)
+        "curate_documents": T.curate_documents,
     }
 
 
@@ -217,6 +219,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "curate_documents": f"""
+            WITH scored AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), q AS (
+                SELECT doc_id, text,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       round(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                             AS DOUBLE) / len(toks), 6) AS stop_ratio
+                FROM scored
+            ), keepers AS (
+                SELECT min(doc_id) AS keeper FROM documents GROUP BY text
+            )
+            SELECT q.doc_id, q.n_tokens, q.stop_ratio,
+                   'keeper+quality' AS keep_reason
+            FROM q JOIN keepers ON q.doc_id = keepers.keeper
+            WHERE q.n_tokens BETWEEN 20 AND 1000
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -418,3 +418,45 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                     a, b = sorted((int(ids[i]), int(ids[j])))
                     out.append((a, b, d))
     return pd.DataFrame(sorted(set(out)), columns=["doc_a", "doc_b", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# composite curation pipeline
+
+
+def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
+                     min_stop_ratio: float = 0.0) -> pd.DataFrame:
+    """Training-data curation composite: keep a document iff it is the
+    exact-dedup keeper (min doc_id of its text group) AND its token count
+    is within [min_tokens, max_tokens] AND its stopword ratio clears the
+    floor.  Returns (doc_id, n_tokens, stop_ratio, keep_reason) for kept
+    docs — the composition of the dedup + quality stages into one
+    decision, the shape of a real corpus-curation job.
+
+    SQL oracle: join of the GROUP BY text keeper subquery with the same
+    token/stopword expressions."""
+    ds = load_documents(sf_dir, ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.strip()
+        toks = t.str.split(_WS)
+        n = toks.map(len)
+        stop = set(STOPWORDS)
+        ratio = toks.map(lambda ws: sum(1 for w in ws if w in stop)) / n
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "h": [_md5_64(x) for x in df["text"]],
+            "n_tokens": n.astype("int64"),
+            "stop_ratio": ratio.round(6),
+        })
+
+    scored = ds.map_batches(score, batch_format="pandas").to_pandas()
+    keepers = scored.groupby("h", as_index=False).agg(keeper=("doc_id", "min"))
+    merged = scored.merge(keepers, on="h")
+    kept = merged[(merged["doc_id"] == merged["keeper"])
+                  & (merged["n_tokens"] >= min_tokens)
+                  & (merged["n_tokens"] <= max_tokens)
+                  & (merged["stop_ratio"] >= min_stop_ratio)]
+    out = kept[["doc_id", "n_tokens", "stop_ratio"]].copy()
+    out["keep_reason"] = "keeper+quality"
+    return out.sort_values("doc_id").reset_index(drop=True)

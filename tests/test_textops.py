@@ -97,3 +97,13 @@ def test_sessionize(ray_session):
     assert (out["n_events"] >= 1).all()
     ev = pd.read_parquet(f"{SF}/events.parquet")
     assert out["n_events"].sum() == len(ev)
+
+
+def test_curate_documents(ray_session):
+    from larbin_ray.pipelines.textops import curate_documents, dedup_exact
+
+    out = curate_documents(SF)
+    keepers = set(dedup_exact(SF).to_pandas()["doc_id"])
+    assert set(out["doc_id"]).issubset(keepers)
+    assert (out["n_tokens"] >= 20).all() and (out["n_tokens"] <= 1000).all()
+    assert (out["keep_reason"] == "keeper+quality").all()
