@@ -133,3 +133,16 @@ def test_kitchen_sink_profile_matches(ray_session, web, seeds):
     # now admitted (the /search.html?q=1 decoy becomes crawlable)
     assert o.answers.get("badType", 0) == 0
     assert any("?q=1" in r["url"] for r in o.fetched)
+
+
+def test_ray_data_tick_path_matches(ray_session, web, seeds, oracle_result):
+    """Force every tick through the Ray Data map_batches pipeline (the
+    cluster-scale regime, cfg.ray_data_min_tick_rows=0) — must equal the
+    oracle exactly, like the task path."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      num_scheduler_shards=3, num_seen_shards=2,
+                      ray_data_min_tick_rows=0)
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(oracle_result, e)
