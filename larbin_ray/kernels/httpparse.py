@@ -43,6 +43,28 @@ class HttpResult:
     location: bytes | None = None   # 30X redirect target (raw header value)
     interesting: bool = False       # specific-search content-type matched
     ext_index: int = -1
+    cookie: bytes | None = None     # url cookie after Set-Cookie capture
+
+
+MAX_COOKIE_LEN = 127                # maxCookieSize buffer, NUL at index 127
+
+
+def add_cookie(cookie: bytes | None, header: bytes) -> bytes | None:
+    """``url::addCookie`` url.cxx:614-634: a ``Set-Cookie:`` header whose
+    value contains a ``;`` (required — no semicolon, no capture) appends
+    the value-before-; with a ``"; "`` separator, capped at 127 bytes."""
+    if not start_with_ignore_case(b"set-cookie: ", header):
+        return cookie
+    rest = header[12:]
+    semi = rest.find(b";")
+    if semi == -1:
+        return cookie
+    value = rest[:semi]
+    if cookie is None:
+        out = value
+    else:
+        out = cookie + b"; " + value
+    return out[:MAX_COOKIE_LEN]
 
 
 def _not_cgi(c: int, get_cgi: bool) -> bool:
@@ -50,7 +72,8 @@ def _not_cgi(c: int, get_cgi: bool) -> bool:
     return get_cgi or (c != 0x3F and c != 0x3D and c != 0x2A)  # ? = *
 
 
-def parse_response(raw: bytes, cfg: CrawlConfig) -> HttpResult:
+def parse_response(raw: bytes, cfg: CrawlConfig,
+                   cookie: bytes | None = None) -> HttpResult:
     n = len(raw)
     nl = raw.find(b"\n")
     if nl == -1:
@@ -79,7 +102,8 @@ def parse_response(raw: bytes, cfg: CrawlConfig) -> HttpResult:
                 return HttpResult("err40X")     # 30X without Location
             body = raw[nl2 + 1:]
             return HttpResult("html", content_start=nl2 + 1, body=body,
-                              interesting=interesting, ext_index=ext_index)
+                              interesting=interesting, ext_index=ext_index,
+                              cookie=cookie)
         if state30x:
             if start_with_ignore_case(b"location: ", raw, area):
                 i = 10
@@ -94,6 +118,9 @@ def parse_response(raw: bytes, cfg: CrawlConfig) -> HttpResult:
                     location = raw[area + 10:area + i]
                 return HttpResult("err30X", location=location)
         else:
+            if cfg.use_cookies:
+                # here->addCookie per header line (file.cxx:468)
+                cookie = add_cookie(cookie, raw[area:nl2])
             if start_with_ignore_case(b"content-type: ", raw, area):
                 ct_off = area + 14
                 if not start_with_ignore_case(b"text/html", raw, ct_off):

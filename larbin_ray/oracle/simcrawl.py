@@ -116,7 +116,8 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
                 parsed.append((row, "robots", raw, -1, [], []))
             else:
                 st, text, chash, _inter, links, errs = parse_one(
-                    row["url"], row["depth"], raw, cfg, domains, forb)
+                    row["url"], row["depth"], raw, cfg, domains, forb, (),
+                    row.get("cookie"))
                 parsed.append((row, st, text, chash, links, errs))
 
         # deterministic order: (tick, ip, robots-first, sub)
@@ -143,7 +144,8 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
                     if match_priv_ext(d["file"], tuple(e.encode() for e in cfg.privileged_exts)):
                         prio = -1
                 candidates.append(UrlRec(d["host"], d["port"], d["file"], d["depth"],
-                                         akey=(tick, prio) + pkey + (d["order"],)))
+                                         akey=(tick, prio) + pkey + (d["order"],),
+                                         cookie=d.get("cookie")))
 
         # robots results apply at end of tick
         for row, st, text, chash, links, errs in parsed:

@@ -58,6 +58,7 @@ DISPATCH_SCHEMA = pa.schema([
     ("is_robots", pa.bool_()),
     ("tick", pa.int32()),
     ("sub", pa.int32()),
+    ("cookie", pa.binary()),
 ])
 
 
@@ -80,14 +81,15 @@ def _extract_entries(out: pa.Table, n_sched: int) -> dict[int, list]:
         subs = out["sub"].to_pylist()
         hosts = pc.struct_field(flat, "host").to_pylist()
         cols = {n: pc.struct_field(flat, n).to_pylist()
-                for n in ("prio", "order", "port", "file", "depth", "hash")}
+                for n in ("prio", "order", "port", "file", "depth", "hash",
+                          "cookie")}
         for i, h in enumerate(hosts):
             p = parent[i]
             sid = shard_of_host(h.decode("latin-1"), n_sched)
             entries_by_shard.setdefault(sid, []).append(
                 (cols["prio"][i], ips[p], subs[p], cols["order"][i],
                  h, cols["port"][i], cols["file"][i], cols["depth"][i],
-                 cols["hash"][i], ips[p], subs[p]))
+                 cols["hash"][i], ips[p], subs[p], cols["cookie"][i]))
     return entries_by_shard
 
 
@@ -254,7 +256,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             raise ValueError(f"invalid seed url: {s}")
         sid = shard_of_host(u.host.decode("latin-1"), n_sched)
         seed_entries.setdefault(sid, []).append(
-            (0, "", 0, i, u.host, u.port, u.file, u.depth, u.hash_code(), "", -1))
+            (0, "", 0, i, u.host, u.port, u.file, u.depth, u.hash_code(),
+             "", -1, None))
     ray.get([sched[sid].submit_links.remote(e) for sid, e in seed_entries.items()])
     _admit_barrier(res, cfg, sched, seen, [])
 
@@ -271,7 +274,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     sid = shard_of_host(u.host.decode("latin-1"), n_sched)
                     inj_entries.setdefault(sid, []).append(
                         (0, "", 0, i, u.host, u.port, u.file, u.depth,
-                         u.hash_code(), "", -1))
+                         u.hash_code(), "", -1, None))
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in inj_entries.items()])
             _admit_barrier(res, cfg, sched, seen, [])

@@ -187,10 +187,21 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
         # duplicate bodies (content-dedup when pageNoDuplicate)
         (f"http://{sp}/dup/a.html", _response(_page_body(sp, [], "dupe"))),
         (f"http://{sp}/dup/b.html", _response(_page_body(sp, [], "dupe"))),
+        # Set-Cookie chain (useCookies): /cookie/a sets a cookie and links
+        # /cookie/b same-host (inherits) + a cross-host link (does not)
+        (f"http://{sp}/cookie/a.html",
+         _response(_page_body(sp, [f"http://{sp}/cookie/b.html",
+                                   f"http://{domains[0]}/p/0.html"], "cookie page"),
+                   extra=[b"Set-Cookie: session=abc; Path=/",
+                          b"Set-Cookie: trk=z9; HttpOnly"])),
+        (f"http://{sp}/cookie/b.html",
+         _response(_page_body(sp, [], "cookie child"))),
     ]
     rows.extend(specials)
     # a hub page linking every special (reachable from the seed page)
-    hub_links = [u for u, _ in specials] + [
+    # the cookie child must only be reachable through /cookie/a.html so
+    # the inherited cookie is observable on its fetch
+    hub_links = [u for u, _ in specials if "/cookie/b" not in u] + [
         "http://nodns.dead.example/x.html",     # -> noDNS
         "http://nodns.dead.example/y.html",     # -> fastNoDns
         "http://noconn.down.example/x.html",    # -> noConnection

@@ -33,6 +33,7 @@ LINK_STRUCT = pa.struct([
     ("order", pa.int32()),
     ("hash", pa.int64()),       # url.cxx:474-482 hashCode, precomputed in-stage
     ("prio", pa.int8()),        # 0 = priority-ext url (specificSearch), 1 = normal
+    ("cookie", pa.binary()),    # inherited same-host cookie (useCookies)
 ])
 
 PARSE_SCHEMA = pa.schema([
@@ -55,13 +56,15 @@ def candidate_dicts(res: ExtractResult, priv_exts: tuple[bytes, ...] = ()) -> li
         {"host": c.url.host, "port": c.url.port, "file": c.url.file,
          "depth": c.url.depth, "redir": c.is_redir, "order": c.order,
          "hash": c.url.hash_code(),
-         "prio": 0 if (priv_exts and match_priv_ext(c.url.file, priv_exts)) else 1}
+         "prio": 0 if (priv_exts and match_priv_ext(c.url.file, priv_exts)) else 1,
+         "cookie": c.url.cookie}
         for c in res.candidates
     ]
 
 
 def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
-              domains, forb, priv_exts: tuple[bytes, ...] = ()
+              domains, forb, priv_exts: tuple[bytes, ...] = (),
+              cookie: bytes | None = None
               ) -> tuple[str, bytes, int, bool, list[dict], list[str]]:
     """-> (status, text, content_hash, interesting, links, stateless_errors).
 
@@ -73,7 +76,8 @@ def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
     if len(raw) == 0:
         return "noConnection", b"", -1, False, [], []
     here = parse_url(url_s.encode(), depth, None)
-    r = parse_response(raw, cfg)
+    here.cookie = cookie
+    r = parse_response(raw, cfg, cookie)
     if r.status == "err30X":
         links: list[dict] = []
         errors: list[str] = []
@@ -87,6 +91,7 @@ def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
         return "err30X", b"", -1, False, links, errors
     if r.status != "html":
         return r.status, b"", -1, False, [], []
+    here.cookie = r.cookie          # Set-Cookie capture before link admission
     chash = content_dup_code(r.body) if cfg.page_no_duplicate else -1
     res = extract_links(here, r.body, cfg, domains, forb)
     return "success", r.body, chash, r.interesting, candidate_dicts(res, priv_exts), res.errors
@@ -109,9 +114,12 @@ class ParseExtract:
             else [cfg.depth_in_site] * len(urls)
         robots_flags = batch["is_robots"].to_pylist() if "is_robots" in batch.column_names \
             else [False] * len(urls)
+        cookies = batch["cookie"].to_pylist() if "cookie" in batch.column_names \
+            else [None] * len(urls)
         raws = batch["html"].to_pylist()
         statuses, texts, chashes, interests, links_col, err_col = [], [], [], [], [], []
-        for url_s, depth, is_rob, raw in zip(urls, depths, robots_flags, raws):
+        for url_s, depth, is_rob, raw, ck in zip(urls, depths, robots_flags,
+                                                 raws, cookies):
             raw = raw or b""
             if is_rob:
                 # robots bodies are parsed by the scheduler shard that owns
@@ -124,7 +132,8 @@ class ParseExtract:
                 err_col.append([])
                 continue
             st, text, ch, inter, links, errs = parse_one(
-                url_s, depth, raw, cfg, self.domains, self.forb, self.priv_exts)
+                url_s, depth, raw, cfg, self.domains, self.forb,
+                self.priv_exts, ck)
             statuses.append(st)
             texts.append(text)
             chashes.append(ch)

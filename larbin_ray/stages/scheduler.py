@@ -82,7 +82,7 @@ class SchedulerShardCore:
 
     def submit_links(self, entries: list[tuple]) -> None:
         """entries: (prio, ip, sub, order, host, port, file, depth,
-        hash, parent_ip, parent_sub)."""
+        hash, parent_ip, parent_sub, cookie)."""
         self._buffer.extend(entries)
 
     def submit_links_refs(self, refs: list) -> None:
@@ -105,7 +105,8 @@ class SchedulerShardCore:
         buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
         self._buffer = []
         buf.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
-        recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]))
+        recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
+                       cookie=e[11] if len(e) > 11 else None)
                 for e in buf]
         hcs = {id(r): e[8] for r, e in zip(recs, buf)}
         self._survivors = self.core.pre_admit(recs)
@@ -156,7 +157,8 @@ class SchedulerShardCore:
 
     def checkpoint_tables(self):
         import pyarrow as _pa
-        f_host, f_port, f_file, f_depth, f_ip, f_kind, f_pos = [], [], [], [], [], [], []
+        f_host, f_port, f_file, f_depth, f_ip, f_kind, f_pos, f_cookie = \
+            [], [], [], [], [], [], [], []
         for ip_str, st in self.core.ips.items():
             for pos, rec in enumerate(st.queue):
                 f_host.append(rec.host)
@@ -166,6 +168,7 @@ class SchedulerShardCore:
                 f_ip.append(ip_str)
                 f_kind.append("queue")
                 f_pos.append(pos)
+                f_cookie.append(rec.cookie)
         for (hname, hport), h in self.core.hosts.items():
             for pos, rec in enumerate(h.pending):
                 f_host.append(rec.host)
@@ -175,6 +178,7 @@ class SchedulerShardCore:
                 f_ip.append("")
                 f_kind.append("pending")
                 f_pos.append(pos)
+                f_cookie.append(rec.cookie)
         frontier = _pa.table({
             "host": _pa.array(f_host, _pa.binary()),
             "port": _pa.array(f_port, _pa.int32()),
@@ -183,6 +187,7 @@ class SchedulerShardCore:
             "ip": _pa.array(f_ip, _pa.string()),
             "kind": _pa.array(f_kind, _pa.string()),
             "pos": _pa.array(f_pos, _pa.int64()),
+            "cookie": _pa.array(f_cookie, _pa.binary()),
         })
         rank = {k: i for i, k in enumerate(self.core.unresolved)}
         hosts = _pa.table({
@@ -225,12 +230,15 @@ class SchedulerShardCore:
                 core.unresolved.append((hname, hport))
             if hip:
                 core.ips.setdefault(hip, IPState())
+        cookies = frontier["cookie"].to_pylist() if "cookie" in frontier.column_names \
+            else [None] * frontier.num_rows
         rows = sorted(zip(frontier["ip"].to_pylist(), frontier["pos"].to_pylist(),
                           frontier["kind"].to_pylist(), frontier["host"].to_pylist(),
                           frontier["port"].to_pylist(), frontier["file"].to_pylist(),
-                          frontier["depth"].to_pylist()))
-        for ip_str, _pos, kind, hname, hport, file, depth in rows:
-            rec = UrlRec(hname, hport, file, depth)
+                          frontier["depth"].to_pylist(), cookies),
+                      key=lambda t: t[:7])
+        for ip_str, _pos, kind, hname, hport, file, depth, ck in rows:
+            rec = UrlRec(hname, hport, file, depth, cookie=ck)
             if kind == "queue":
                 core.ips.setdefault(ip_str, IPState()).queue.append(rec)
             else:

@@ -64,6 +64,7 @@ class UrlRec:
     file: bytes
     depth: int
     akey: tuple = ()
+    cookie: bytes | None = None
 
     def url_str(self) -> str:
         return Url(self.host, self.port, self.file, self.depth).give_url().decode("latin-1")
@@ -185,6 +186,7 @@ class SchedulerCore:
                     "is_robots": True,
                     "tick": tick,
                     "sub": 0,
+                    "cookie": None,
                 })
         self.unresolved = [k for k in self.unresolved
                            if self.hosts[k].dns_state == "wait" and not self.hosts[k].robots_inflight]
@@ -206,7 +208,7 @@ class SchedulerCore:
         """Columnar dispatch (engine path): parallel lists, one entry per
         dispatched url — avoids building a python dict per row."""
         cols = {k: [] for k in ("url", "host", "port", "ip", "depth",
-                                "is_robots", "tick", "sub")}
+                                "is_robots", "tick", "sub", "cookie")}
         drain = self.cfg.wait_duration == 0
         for ip_str in sorted(self.ips):
             st = self.ips[ip_str]
@@ -224,6 +226,7 @@ class SchedulerCore:
                 cols["is_robots"].append(False)
                 cols["tick"].append(tick)
                 cols["sub"].append(sub)
+                cols["cookie"].append(rec.cookie)
                 sub += 1
                 if not drain:
                     break

@@ -146,3 +146,24 @@ def test_ray_data_tick_path_matches(ray_session, web, seeds, oracle_result):
                       ray_data_min_tick_rows=0)
     e = ray_crawl(web, seeds, cfg)
     assert_same_crawl(oracle_result, e)
+
+
+def test_use_cookies_matches_and_propagates(ray_session, seeds):
+    """useCookies: Set-Cookie capture + same-host inheritance through the
+    frontier; engine == oracle, and the cookie-chain page is reached with
+    the inherited cookie visible in the dispatch."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    web = gen_web(60, 6, seed=42)
+    cfg = CrawlConfig(depth_by_site=True, use_cookies=True,
+                      num_scheduler_shards=2, num_seen_shards=2)
+    o = oracle_crawl(web, seeds, cfg)
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(o, e)
+    # the cookie chain: /cookie/b is dispatched WITH the cookie captured
+    # from /cookie/a's Set-Cookie headers and inherited same-host
+    by_url = {r["url"]: r for r in o.fetched}
+    a = next(v for u, v in by_url.items() if "/cookie/a.html" in u)
+    b = next(v for u, v in by_url.items() if "/cookie/b.html" in u)
+    assert a.get("cookie") is None
+    assert b.get("cookie") == b"session=abc; trk=z9"

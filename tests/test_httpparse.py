@@ -109,3 +109,35 @@ class TestContentDup:
 
     def test_stops_at_nul(self):
         assert content_dup_code(b"Bc\x00de") == content_dup_code(b"Bc")
+
+
+class TestCookies:
+    def test_add_cookie_requires_semicolon(self):
+        from larbin_ray.kernels.httpparse import add_cookie
+
+        # url.cxx:618: no ';' in the value -> no capture
+        assert add_cookie(None, b"Set-Cookie: a=1") is None
+        assert add_cookie(None, b"Set-Cookie: a=1; Path=/") == b"a=1"
+
+    def test_add_cookie_appends_with_separator(self):
+        from larbin_ray.kernels.httpparse import add_cookie
+
+        c = add_cookie(b"a=1", b"Set-Cookie: b=2; HttpOnly")
+        assert c == b"a=1; b=2"
+
+    def test_add_cookie_cap_127(self):
+        from larbin_ray.kernels.httpparse import add_cookie
+
+        big = b"Set-Cookie: " + b"x" * 200 + b"; Path=/"
+        assert len(add_cookie(None, big)) == 127
+
+    def test_parse_response_captures_in_order(self):
+        from larbin_ray.config import CrawlConfig
+        from larbin_ray.kernels.httpparse import parse_response
+
+        raw = (b"HTTP/1.0 200 OK\r\nSet-Cookie: s=1; P\r\n"
+               b"Content-Type: text/html\r\nSet-Cookie: t=2; Q\r\n\r\nbody")
+        r = parse_response(raw, CrawlConfig(use_cookies=True))
+        assert r.cookie == b"s=1; t=2"
+        r2 = parse_response(raw, CrawlConfig(use_cookies=False))
+        assert r2.cookie is None
