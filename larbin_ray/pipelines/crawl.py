@@ -172,15 +172,27 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
 
 
 def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
-                   dup_parents: list[tuple]) -> None:
+                   dup_parents: list[tuple],
+                   robots_by_shard: dict[int, list] | None = None,
+                   refs_by_shard: dict[int, list] | None = None) -> None:
     """pre_admit -> seen -> enqueue across the shard tiers; the driver
-    moves only key/hash columns."""
+    moves only key/hash columns.  Robots results and outstanding entry
+    refs ride in the pre_admit RPC (one barrier, not three); the enqueue
+    ack is pipelined — per-actor ordering guarantees the next
+    begin_tick/stats call on a shard observes the enqueue."""
     n_seen = cfg.num_seen_shards
-    per_shard = ray.get([s.pre_admit_links.remote(dup_parents) for s in sched])
+    robots_by_shard = robots_by_shard or {}
+    refs_by_shard = refs_by_shard or {}
+    per_shard = ray.get([
+        s.pre_admit_links.remote(dup_parents,
+                                 robots_by_shard.get(sid, ()),
+                                 refs_by_shard.get(sid, ()))
+        for sid, s in enumerate(sched)])
     counts = [len(d["hash"]) for d in per_shard]
     total = sum(counts)
     if total == 0:
-        ray.get([s.enqueue_verdicts.remote([]) for s in sched])
+        for s in sched:
+            s.enqueue_verdicts.remote([])
         return
     origin = np.concatenate([np.full(c, sid, dtype=np.int64)
                              for sid, c in enumerate(counts)])
@@ -211,13 +223,12 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
         is_new[sel] = verdicts
     res.answers["urlDup"] += int(total - is_new.sum())
 
-    enq = []
     for sid, c in enumerate(counts):
         v = np.zeros(c, dtype=bool)
         mask = s_origin == sid
         v[s_local[mask]] = is_new[mask]
-        enq.append(sched[sid].enqueue_verdicts.remote(v.tolist()))
-    ray.get(enq)
+        # pipelined: per-actor ordering makes the next call the ack
+        sched[sid].enqueue_verdicts.remote(v.tolist())
 
 
 def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
@@ -304,6 +315,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         task_sink = out_dir is not None and not cfg.page_no_duplicate
         ship_text = keep_text or (out_dir is not None and cfg.page_no_duplicate)
         used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
+        refs_by_shard = {}
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
@@ -324,12 +336,10 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             _clk("taskwave", _t0)
             _t0 = _time.time()
             ctrl = pa.concat_tables([o[0] for o in outs])
-            by_shard: dict[int, list] = {}
+            refs_by_shard: dict[int, list] = {}
             for _t, refs in outs:
                 for sid, ref in refs.items():
-                    by_shard.setdefault(sid, []).append(ref)
-            ray.get([sched[sid].submit_links_refs.remote(refs)
-                     for sid, refs in by_shard.items()])
+                    refs_by_shard.setdefault(sid, []).append(ref)
             _clk("submit_refs", _t0)
 
         _t0 = _time.time()
@@ -376,8 +386,6 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             sid = shard_of_host(hosts_col[i], n_sched)
             robots_payload.setdefault(sid, []).append(
                 (hosts_col[i].encode("latin-1"), ports_col[i], txt))
-        ray.get([sched[sid].robots_results.remote(items)
-                 for sid, items in robots_payload.items()])
         _clk("robots_mid", _t0)
         _t0 = _time.time()
 
@@ -400,7 +408,9 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("meta", _t0)
 
         _t0 = _time.time()
-        _admit_barrier(res, cfg, sched, seen, dup_parents)
+        _admit_barrier(res, cfg, sched, seen, dup_parents,
+                       robots_by_shard=robots_payload,
+                       refs_by_shard=refs_by_shard)
         _clk("admit", _t0)
 
         metrics_rows.append({

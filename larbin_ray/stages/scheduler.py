@@ -98,9 +98,19 @@ class SchedulerShardCore:
         page_cols = self.core.dispatch_columns(tick)
         return robots_rows, page_cols, self.core.queued_count()
 
-    def pre_admit_links(self, dup_parents: list[tuple]) -> dict:
+    def pre_admit_links(self, dup_parents: list[tuple],
+                        robots_items: list[tuple] = (),
+                        entry_refs: list = ()) -> dict:
+        """Fused tick barrier: apply robots results, pull outstanding
+        entry refs, then sort + fast-fail (fewer RPC round-trips per
+        tick; robots MUST apply before the fast-checks, matching the
+        oracle's end-of-tick order)."""
         import numpy as np
 
+        if robots_items:
+            self.robots_results(list(robots_items))
+        if entry_refs:
+            self.submit_links_refs(list(entry_refs))
         dup = set(dup_parents)
         buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
         self._buffer = []
