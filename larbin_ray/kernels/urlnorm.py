@@ -216,6 +216,35 @@ class Url:
         return site_hash_code(self.host)
 
 
+_PUNY_CACHE: dict[bytes, bytes] = {}
+
+
+def puny_host(host: bytes) -> bytes:
+    """IDN host -> ASCII (xn--) form, the reference's ``getPunycode``
+    (url.cxx:331-338, utils/punycode.cxx).  ASCII hosts pass through
+    unchanged; labels that fail to encode stay raw (the reference's
+    encoder also passes already-ASCII labels through).  Uses the
+    standard IDNA/Punycode algorithm (RFC 3492), which is what
+    punycode.cxx implements."""
+    if all(b < 0x80 for b in host):
+        return host
+    hit = _PUNY_CACHE.get(host)
+    if hit is None:
+        labels = []
+        for label in host.split(b"."):
+            if all(b < 0x80 for b in label):
+                labels.append(label)
+            else:
+                try:
+                    labels.append(b"xn--" + label.decode("utf-8")
+                                  .encode("punycode"))
+                except (UnicodeDecodeError, UnicodeEncodeError):
+                    labels.append(label)
+        hit = b".".join(labels)
+        _PUNY_CACHE[host] = hit
+    return hit
+
+
 def site_hash_code(host: bytes) -> int:
     h = 0
     for b in host:

@@ -80,7 +80,12 @@ def _gather_codes(npy_dir: str, old_n: int) -> np.ndarray:
 def restore_checkpoint(ckpt_dir: str, cfg, sched, seen, dup) -> dict:
     """Load a checkpoint into freshly created shard actors (any shard
     counts); returns the manifest."""
+    from larbin_ray.kernels.urlnorm import puny_host
     from larbin_ray.stages.scheduler import shard_of_host
+
+    def route(h: bytes) -> int:
+        key = puny_host(h) if cfg.punycode else h
+        return shard_of_host(key.decode("latin-1"), len(sched))
 
     with open(f"{ckpt_dir}/manifest.json") as f:
         manifest = json.load(f)
@@ -92,10 +97,8 @@ def restore_checkpoint(ckpt_dir: str, cfg, sched, seen, dup) -> dict:
         [pq.read_table(f"{ckpt_dir}/hosts/shard={i}.parquet")
          for i in range(old_n)])
     n_new = len(sched)
-    f_sids = [shard_of_host(h.decode("latin-1"), n_new)
-              for h in frontier["host"].to_pylist()]
-    h_sids = [shard_of_host(h.decode("latin-1"), n_new)
-              for h in hosts["host"].to_pylist()]
+    f_sids = [route(h) for h in frontier["host"].to_pylist()]
+    h_sids = [route(h) for h in hosts["host"].to_pylist()]
     futs = []
     for sid in range(n_new):
         fmask = pa.array([s == sid for s in f_sids])

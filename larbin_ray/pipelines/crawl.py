@@ -68,7 +68,16 @@ def _dispatch_table(rows: list[dict]) -> pa.Table:
                      for n, v in cols.items()})
 
 
-def _extract_entries(out: pa.Table, n_sched: int) -> dict[int, list]:
+def _route_host(host_b: bytes, n_sched: int, punycode: bool) -> int:
+    """Politeness-key routing; under cfg.punycode the key is the xn--
+    form (matching the scheduler cores' site identity)."""
+    from larbin_ray.kernels.urlnorm import puny_host
+    key = puny_host(host_b) if punycode else host_b
+    return shard_of_host(key.decode("latin-1"), n_sched)
+
+
+def _extract_entries(out: pa.Table, n_sched: int,
+                     punycode: bool = False) -> dict[int, list]:
     """Flatten the links column of a parse table into per-scheduler-shard
     admission entries (prio, ip, sub, order, host, port, file, depth,
     hash, parent_ip, parent_sub)."""
@@ -85,7 +94,7 @@ def _extract_entries(out: pa.Table, n_sched: int) -> dict[int, list]:
                           "cookie")}
         for i, h in enumerate(hosts):
             p = parent[i]
-            sid = shard_of_host(h.decode("latin-1"), n_sched)
+            sid = _route_host(h, n_sched, punycode)
             entries_by_shard.setdefault(sid, []).append(
                 (cols["prio"][i], ips[p], subs[p], cols["order"][i],
                  h, cols["port"][i], cols["file"][i], cols["depth"][i],
@@ -99,7 +108,7 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
     (acked), return the parse table without the links column.  The
     Ray Data variant of the stage (blocking ack per batch)."""
     out = parse(fetch_fn(batch))
-    entries_by_shard = _extract_entries(out, n_sched)
+    entries_by_shard = _extract_entries(out, n_sched, parse.cfg.punycode)
     if entries_by_shard:
         ray.get([sched[sid].submit_links.remote(entries)
                  for sid, entries in entries_by_shard.items()])
@@ -124,7 +133,7 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
     # the per-worker fetch index cache is keyed by the ref
     fetch_fn = make_fetch_fn(pages_ref_holder[0])
     out = ParseExtract(cfg)(fetch_fn(batch))
-    entries_by_shard = _extract_entries(out, n_sched)
+    entries_by_shard = _extract_entries(out, n_sched, cfg.punycode)
     refs = {sid: ray.put(entries) for sid, entries in entries_by_shard.items()}
     out = out.drop_columns(["links"])
     if sink_path is not None:
@@ -221,7 +230,9 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
             sels.append(sel)
     for sel, verdicts in zip(sels, ray.get(futs)):
         is_new[sel] = verdicts
-    res.answers["urlDup"] += int(total - is_new.sum())
+    dups = int(total - is_new.sum())
+    if dups:
+        res.answers["urlDup"] += dups
 
     for sid, c in enumerate(counts):
         v = np.zeros(c, dtype=bool)
@@ -265,7 +276,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         u = parse_url(s.encode("latin-1"), cfg.depth_in_site, None)
         if not u.is_valid():
             raise ValueError(f"invalid seed url: {s}")
-        sid = shard_of_host(u.host.decode("latin-1"), n_sched)
+        sid = _route_host(u.host, n_sched, cfg.punycode)
         seed_entries.setdefault(sid, []).append(
             (0, "", 0, i, u.host, u.port, u.file, u.depth, u.hash_code(),
              "", -1, None))
@@ -282,7 +293,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             for i, s_url in enumerate(injected):
                 u = parse_url(s_url.encode("latin-1"), cfg.depth_in_site, None)
                 if u.is_valid():
-                    sid = shard_of_host(u.host.decode("latin-1"), n_sched)
+                    sid = _route_host(u.host, n_sched, cfg.punycode)
                     inj_entries.setdefault(sid, []).append(
                         (0, "", 0, i, u.host, u.port, u.file, u.depth,
                          u.hash_code(), "", -1, None))
@@ -383,7 +394,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         ports_col = ctrl["port"].to_pylist()
         for i in rob_idx:
             txt = ctrl["text"][int(i)].as_py()
-            sid = shard_of_host(hosts_col[i], n_sched)
+            sid = _route_host(hosts_col[i].encode("latin-1"), n_sched, cfg.punycode)
             robots_payload.setdefault(sid, []).append(
                 (hosts_col[i].encode("latin-1"), ports_col[i], txt))
         _clk("robots_mid", _t0)

@@ -75,7 +75,7 @@ def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
     decide, discarding the links of dropped duplicates)."""
     if len(raw) == 0:
         return "noConnection", b"", -1, False, [], []
-    here = parse_url(url_s.encode(), depth, None)
+    here = parse_url(url_s.encode("latin-1"), depth, None)
     here.cookie = cookie
     r = parse_response(raw, cfg, cookie)
     if r.status == "err30X":

@@ -53,7 +53,7 @@ from dataclasses import dataclass, field
 
 from larbin_ray.config import CrawlConfig
 from larbin_ray.kernels.robots import parse_robots_response, test_robots
-from larbin_ray.kernels.urlnorm import Url
+from larbin_ray.kernels.urlnorm import Url, puny_host
 from larbin_ray.sources import dns as fixture_dns
 
 
@@ -93,6 +93,10 @@ class SchedulerCore:
     def __init__(self, cfg: CrawlConfig, resolve=fixture_dns.resolve):
         self.cfg = cfg
         self.resolve = resolve
+        # getPunycode parity: with cfg.punycode the NamedSite identity and
+        # the DNS query use the xn-- form (newId site.cxx:404, strcmp
+        # comparisons at site.cxx:142,361,447); without it, raw bytes
+        self.site_key = (lambda h: puny_host(h)) if cfg.punycode else (lambda h: h)
         self.hosts: dict[tuple[bytes, int], HostState] = {}
         self.ips: dict[str, IPState] = {}
         self.unresolved: list[tuple[bytes, int]] = []   # creation order
@@ -102,7 +106,7 @@ class SchedulerCore:
     # ---- admission phase 1: initOK fast-fails (url.cxx:371-389) ----
 
     def fast_check(self, rec: UrlRec) -> str | None:
-        h = self.hosts.get((rec.host, rec.port))
+        h = self.hosts.get((self.site_key(rec.host), rec.port))
         if h is None:
             return None
         if h.dns_state == "error":
@@ -129,10 +133,10 @@ class SchedulerCore:
 
     def enqueue(self, recs: list[UrlRec]) -> None:
         for rec in recs:
-            key = (rec.host, rec.port)
+            key = (self.site_key(rec.host), rec.port)
             h = self.hosts.get(key)
             if h is None:
-                h = HostState(rec.host, rec.port)
+                h = HostState(key[0], rec.port)
                 self.hosts[key] = h
                 self.unresolved.append(key)
             if h.dns_state == "wait":

@@ -167,3 +167,48 @@ def test_use_cookies_matches_and_propagates(ray_session, seeds):
     b = next(v for u, v in by_url.items() if "/cookie/b.html" in u)
     assert a.get("cookie") is None
     assert b.get("cookie") == b"session=abc; trk=z9"
+
+
+def test_punycode_site_identity(ray_session):
+    """cfg.punycode: the NamedSite identity and DNS/robots go through the
+    xn-- form (getPunycode parity, site.cxx:404/142); raw-byte identity
+    without the flag.  Engine == oracle either way."""
+    import pyarrow as pa
+
+    from larbin_ray.kernels.urlnorm import puny_host
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    assert puny_host("例子.example".encode()) == b"xn--fsqu00a.example"
+
+    def b2s(u: str) -> str:       # byte-transport form (latin-1-carried utf-8)
+        return u.encode("utf-8").decode("latin-1")
+
+    idn = b2s("http://例子.example")
+    body1 = _mini_response(b'<a href="/p2.html">x</a>')
+    body2 = _mini_response(b"done")
+    pages = pa.table({
+        "url": [idn + "/p1.html", idn + "/p2.html"],
+        "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+        "html": pa.array([body1, body2], pa.binary()),
+        "text": ["x", "done"],
+        "lang": ["zh", "zh"],
+    })
+    seeds2 = [idn + "/p1.html"]
+    for punycode in (False, True):
+        cfg = CrawlConfig(punycode=punycode, num_scheduler_shards=2,
+                          num_seen_shards=2)
+        o = oracle_crawl(pages, seeds2, cfg)
+        e = ray_crawl(pages, seeds2, cfg)
+        assert_same_crawl(o, e)
+        robots = [r["url"] for r in o.fetched if r["is_robots"]]
+        assert len(robots) == 1
+        if punycode:
+            assert robots[0].startswith("http://xn--fsqu00a.example"), robots
+        else:
+            assert not robots[0].startswith("http://xn--"), robots
+        succ = [r for r in o.fetched if r["status"] == "success"]
+        assert len(succ) == 2   # both IDN pages crawled
+
+
+def _mini_response(body: bytes) -> bytes:
+    return (b"HTTP/1.0 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
