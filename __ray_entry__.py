@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": R.top_users_by_value,
         "orders_by_segment": R.orders_by_segment,
         "lineitem_pricing_summary": R.lineitem_pricing_summary,
+        "events_asof_prev_error": R.events_asof_prev_error,
         # dedup family
         "dedup_exact": T.dedup_exact,
         "dedup_exact_hash": T.dedup_exact_hash,
@@ -161,6 +162,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "events_asof_prev_error": """
+            SELECT e.event_id, p.event_id AS prev_error_id
+            FROM events e
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n_orders,

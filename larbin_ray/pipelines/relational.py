@@ -202,3 +202,28 @@ def lineitem_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> rd
         return t
 
     return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def events_asof_prev_error(sf_dir: str) -> rd.Dataset:
+    """As-of join (the custom-operator class Ray Data lacks natively):
+    for every event, the most recent 'error' event of the same user at
+    or before it.  Expressed as groupby(user) -> sorted-group
+    ``pd.merge_asof`` (the documented composition for as-of/range joins:
+    partition by the equality key, order by time within the partition).
+    Inner semantics — events before a user's first error are dropped —
+    matching DuckDB's ASOF JOIN oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        errors = g.loc[g["event_type"] == "error", ["ts", "event_id"]] \
+                  .rename(columns={"event_id": "prev_error_id"})
+        if errors.empty:
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                 "prev_error_id": pd.array([], dtype="int64")})
+        m = pd.merge_asof(g, errors, on="ts", direction="backward",
+                          allow_exact_matches=True)
+        m = m.dropna(subset=["prev_error_id"])
+        return m[["event_id", "prev_error_id"]].astype("int64")
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

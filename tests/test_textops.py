@@ -107,3 +107,20 @@ def test_curate_documents(ray_session):
     assert set(out["doc_id"]).issubset(keepers)
     assert (out["n_tokens"] >= 20).all() and (out["n_tokens"] <= 1000).all()
     assert (out["keep_reason"] == "keeper+quality").all()
+
+
+def test_events_asof_prev_error(ray_session):
+    from larbin_ray.pipelines.relational import events_asof_prev_error
+
+    out = events_asof_prev_error(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["prev_error_id"] >= 0).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    errors = ev[ev["event_type"] == "error"].set_index("event_id")
+    # every matched prev_error is a real error event of the same user
+    merged = out.merge(ev[["event_id", "user_id", "ts"]], on="event_id")
+    for _, r in merged.head(50).iterrows():
+        err = errors.loc[r["prev_error_id"]]
+        assert err["event_type"] == "error"
+        assert err["user_id"] == r["user_id"]
+        assert err["ts"] <= r["ts"]
