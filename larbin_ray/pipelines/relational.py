@@ -104,19 +104,28 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
     state; ordering assumption: one group fits in memory)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        sid = (gap > gap_s).cumsum()
-        agg = g.groupby(sid).agg(
+    # bucket users (16 shuffle groups instead of one python map_groups
+    # call per user); all events of a user land in one bucket, so the
+    # per-user windowing inside the bucket is exact
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = df["user_id"] % 16
+        return df
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gap = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(np.inf)
+        sid = (gap > gap_s).groupby(g["user_id"]).cumsum()
+        agg = g.groupby([g["user_id"], sid]).agg(
             session_start=("ts", "min"), n_events=("ts", "size"),
-            sum_value=("value", "sum"))
-        agg["user_id"] = g["user_id"].iloc[0]
+            sum_value=("value", "sum")).reset_index(level=0)
         agg["session_start_us"] = agg["session_start"].astype("int64")
         agg["sum_value"] = agg["sum_value"].round(2)
         return agg[["user_id", "session_start_us", "n_events", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(sessions_bucket, batch_format="pandas")
+            .select_columns(["user_id", "session_start_us", "n_events", "sum_value"]))
 
 
 def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:

@@ -138,30 +138,56 @@ def ivf_build_centroids(mat: np.ndarray, n_cells: int, iters: int = 5) -> np.nda
     return cent
 
 
+class IvfScorer:
+    """Actor-pool stage: holds centroids + per-query probe sets; each
+    batch assigns its vectors to cells and scores only the vectors that
+    fall in a probed cell (the pruning that makes IVF the 10^10-scale
+    path — per-batch work drops by ~(1 - nprobe/n_cells))."""
+
+    def __init__(self, state_ref):
+        self.cent, self.qids, self.q, self.probe = ray.get(state_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        m = _normalize(_to_matrix(df["embedding"]))
+        assign = np.argmax(m @ self.cent.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probe[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.q[qi]
+            out_q.extend([qid] * int(mask.sum()))
+            out_n.extend(ids[mask].tolist())
+            out_s.extend(np.round(sims, 6).tolist())
+        return pd.DataFrame({"query_id": pd.array(out_q, dtype="int64"),
+                             "neighbor_id": pd.array(out_n, dtype="int64"),
+                             "sim": pd.array(out_s, dtype="float64")})
+
+
 def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
             nprobe: int = 4) -> pd.DataFrame:
-    """IVF-style ANN: assign vectors to coarse cells (one shuffle by
-    cell id), probe only the ``nprobe`` closest cells per query.  At
-    10^10 scale each cell is a partition; here cells stay in one
-    Dataset and we filter per batch."""
-    ds = load_embeddings(sf_dir)
-    full = ds.to_pandas()           # sample-for-centroids (small at test scale)
-    ids = full["vec_id"].to_numpy()
-    mat = _normalize(_to_matrix(full["embedding"]))
-    cent = ivf_build_centroids(mat, n_cells)
-    qids = ids[:n_queries]
-    q = mat[:n_queries]
-    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]       # (Q, nprobe)
-    assign = np.argmax(mat @ cent.T, axis=1)
+    """IVF-style ANN as a Ray Data pipeline: centroids trained on a
+    driver-side sample (small), then an actor-pool map_batches stage
+    assigns+prunes+scores per batch against the broadcast (centroids,
+    queries, probe sets); the driver merges only the pruned partial
+    scores into top-k."""
+    from larbin_ray.pipelines import pool_size
 
-    out = []
-    for qi, qid in enumerate(qids):
-        mask = np.isin(assign, probe[qi])
-        cand_ids = ids[mask]
-        sims = mat[mask] @ q[qi]
-        keep = cand_ids != qid
-        cand_ids, sims = cand_ids[keep], sims[keep]
-        order = np.lexsort((cand_ids, -sims))[:k]
-        for j in order:
-            out.append((qid, int(cand_ids[j]), round(float(sims[j]), 6)))
-    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+    ds = load_embeddings(sf_dir)
+    sample = ds.take(2048)          # centroid training sample
+    smat = _normalize(_to_matrix([r["embedding"] for r in sample]))
+    cent = ivf_build_centroids(smat, n_cells)
+    head = sample[:n_queries]
+    qids = np.asarray([r["vec_id"] for r in head])
+    q = _normalize(_to_matrix([r["embedding"] for r in head]))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    state_ref = ray.put((cent, qids, q, probe))
+
+    scored = ds.map_batches(IvfScorer, fn_constructor_args=(state_ref,),
+                            batch_format="pandas", batch_size=1024,
+                            concurrency=pool_size()).to_pandas()
+    top = (scored.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True])
+           .groupby("query_id").head(k).reset_index(drop=True))
+    return top[["query_id", "neighbor_id", "sim"]]
