@@ -482,3 +482,17 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         pq.write_table(pa.Table.from_pylist(metrics_rows),
                        f"{checkpoint_dir}/metrics.parquet")
     return res
+
+
+def ray_crawl_from_conf(pages: pa.Table, conf_path: str, *,
+                        seeds: list[str] | None = None, **kw) -> CrawlResult:
+    """Run a crawl from a Larbin configuration file — the switch-over
+    surface for a reference user: ``./larbin -c my.conf`` becomes
+    ``ray_crawl_from_conf(pages, "my.conf")``.  ``startUrl`` lines in
+    the conf are the seeds unless overridden."""
+    from larbin_ray.kernels.confparse import parse_larbin_conf
+
+    with open(conf_path) as f:
+        cfg, conf_seeds = parse_larbin_conf(f.read())
+    return ray_crawl(pages, seeds if seeds is not None else conf_seeds,
+                     cfg, **kw)

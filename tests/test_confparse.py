@@ -40,3 +40,23 @@ def test_comments_and_quotes():
 def test_unknown_keyword_raises():
     with pytest.raises(ValueError, match="bad configuration"):
         parse_larbin_conf("unknownKey 1\n")
+
+
+def test_crawl_from_conf(ray_session, tmp_path):
+    """End-to-end: a Larbin conf file drives the engine (the reference
+    user's switch-over path)."""
+    from larbin_ray.pipelines.crawl import ray_crawl_from_conf
+    from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+    conf = tmp_path / "my.conf"
+    conf.write_text(
+        "From me@example.org\nUserAgent larbin_2.6.5\n"
+        "pagesConnexions 10\ndnsConnexions 2\ndepthInSite 3\n"
+        "depthBySite\nwaitDuration 60\npageNoDuplicate\n"
+        + "".join(f"startUrl {u}\n" for u in default_seeds(6))
+        + "forbiddenExtensions\n.zip .pdf\nend\n")
+    web = gen_web(60, 6, seed=42)
+    res = ray_crawl_from_conf(web, str(conf))
+    assert res.answers["success"] > 10
+    # depthInSite 3 (not the default 5) visibly reduces the crawl
+    assert max(r["depth"] for r in res.fetched) <= 3
