@@ -153,16 +153,38 @@ def parse_response(raw: bytes, cfg: CrawlConfig,
 # content duplicate hash — hashDup::testSet, src/utils/hash_duplicate.cxx:83-95
 
 
+_POW23: dict[int, "object"] = {}
+
+
+def _pow23(n: int, size: int):
+    """23^0..23^(n-1) mod size, cached & grown on demand (vectorized
+    evaluation of the rolling hash as a dot product)."""
+    import numpy as np
+    arr = _POW23.get(size)
+    if arr is None or len(arr) < n:
+        m = max(n, 4096, 0 if arr is None else len(arr) * 2)
+        out = np.empty(m, dtype=np.uint64)
+        out[0] = 1
+        for i in range(1, m):
+            out[i] = (out[i - 1] * 23) % size
+        _POW23[size] = arr = out
+    return arr
+
+
 def content_dup_code(body: bytes, size: int = 64_000_000) -> int:
     """poly-23 over body chars ``c`` with ``'A' < c < 'z'`` (exclusive,
     i.e. bytes 0x42..0x79; high-bit bytes are negative signed chars and
     never qualify), mod ``size``, stopping at the first NUL byte (the
-    reference hashes a C string)."""
+    reference hashes a C string).  Vectorized: code = sum c_i * 23^(m-1-i)
+    mod size (products < 2^33, sums safe in uint64 for bodies < 8 MiB)."""
+    import numpy as np
     nul = body.find(b"\0")
     if nul != -1:
         body = body[:nul]
-    code = 0
-    for c in body:
-        if 0x41 < c < 0x7A:
-            code = (code * 23 + c) % size
-    return code
+    arr = np.frombuffer(body, dtype=np.uint8)
+    kept = arr[(arr > 0x41) & (arr < 0x7A)].astype(np.uint64)
+    m = len(kept)
+    if m == 0:
+        return 0
+    powers = _pow23(m, size)[:m][::-1]
+    return int((kept * powers).sum() % np.uint64(size))
