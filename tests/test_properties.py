@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): differential equivalence of the
+vectorized state kernels vs their sequential reference forms, and
+normalization invariants."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from larbin_ray.kernels.httpparse import content_dup_code
+from larbin_ray.kernels.textutil import robots_match
+from larbin_ray.kernels.urlnorm import Url, file_normalize, parse_url
+from larbin_ray.state.bitset import Bitset
+
+# paths built from url-ish bytes (printable ASCII incl. the special chars)
+_pathish = st.binary(min_size=0, max_size=60).map(
+    lambda b: b"/" + bytes(x % 0x5E + 0x21 for x in b))
+
+
+@given(_pathish.filter(lambda p: b"%" not in p))
+@settings(max_examples=300, deadline=None)
+def test_normalize_removes_dot_segments(path):
+    """For %-free inputs, a successful normalize leaves no //, /./, /../
+    and is idempotent."""
+    out = file_normalize(path)
+    if out is None:
+        return
+    body = out.split(b"#")[0]
+    assert b"//" not in body
+    assert b"/./" not in body + b"/"
+    assert b"/../" not in body + b"/"
+    assert file_normalize(out) == out
+
+
+@given(st.from_regex(rb"\A[a-z0-9.\-]{1,20}\Z"),
+       st.integers(1, 65535),
+       _pathish.filter(lambda p: b"%" not in p and b"#" not in p))
+@settings(max_examples=300, deadline=None)
+def test_give_url_parse_roundtrip(host, port, path):
+    """give_url -> parse_url preserves identity for already-normalized
+    %-free urls (what the frontier stores)."""
+    norm = file_normalize(path)
+    if norm is None or not norm.startswith(b"/"):
+        return
+    u = Url(host, port, norm, 3)
+    if not u.is_valid():
+        return
+    r = parse_url(u.give_url(), 3, None)
+    assert (r.host, r.port, r.file) == (host, port, norm)
+    assert r.hash_code() == u.hash_code()
+
+
+@given(st.lists(st.integers(0, 63_999_999), min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_bitset_batch_equals_sequential(codes):
+    a, b = Bitset(), Bitset()
+    batch = a.test_set_many(np.asarray(codes, dtype=np.int64)) \
+        if codes else np.empty(0, bool)
+    seq = np.asarray([b.test_set(c) for c in codes], dtype=bool)
+    assert np.array_equal(np.asarray(batch, dtype=bool), seq)
+    assert np.array_equal(a.table, b.table)
+    assert np.array_equal(a.set_indices(), np.unique(codes))
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_content_dup_vectorized_equals_scalar(body):
+    size = 64_000_000
+    nul = body.find(b"\0")
+    trunc = body if nul == -1 else body[:nul]
+    code = 0
+    for c in trunc:
+        if 0x41 < c < 0x7A:
+            code = (code * 23 + c) % size
+    assert content_dup_code(body) == code
+
+
+@given(st.from_regex(rb"\A/[a-z*./]{0,20}\Z"),
+       st.from_regex(rb"\A/[a-z./]{0,30}\Z"))
+@settings(max_examples=300, deadline=None)
+def test_robots_match_prefix_consistency(pattern, path):
+    """A starless pattern matches iff it is a byte prefix of the path."""
+    if b"*" not in pattern:
+        assert robots_match(pattern, path) == path.startswith(pattern)
