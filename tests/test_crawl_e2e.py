@@ -212,3 +212,42 @@ def test_punycode_site_identity(ray_session):
 
 def _mini_response(body: bytes) -> bytes:
     return (b"HTTP/1.0 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+def test_seen_set_collision_parity(ray_session):
+    """The 64M single-hash bitset silently drops hash-colliding URLs
+    (hash_table.cxx:95-125) — the reference's false-positive behavior.
+    Two distinct pages with the same hashCode: only the first in
+    admission order is crawled, identically in oracle and engine at two
+    seen-shard counts."""
+    import pyarrow as pa
+
+    from larbin_ray.kernels.urlnorm import Url, parse_url
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    # pre-searched colliding pair on sitea.example (poly-31 mod 64e6)
+    f1, f2 = b"/c/cgaeidig.html", b"/c/fejiafge.html"
+    assert Url(b"sitea.example", 80, f1, 5).hash_code() == \
+        Url(b"sitea.example", 80, f2, 5).hash_code()
+
+    def resp(b):
+        return b"HTTP/1.0 200 OK\r\nContent-Type: text/html\r\n\r\n" + b
+    root = "http://sitea.example"
+    pages = pa.table({
+        "url": [root + "/p0.html", root + f1.decode(), root + f2.decode()],
+        "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+        "html": pa.array([
+            resp(b'<a href="' + f1 + b'"">a</a><a href="' + f2 + b'">b</a>'),
+            resp(b"first"), resp(b"second")], pa.binary()),
+        "text": ["", "first", "second"], "lang": ["en"] * 3,
+    })
+    for n_seen in (1, 3):
+        cfg = CrawlConfig(num_scheduler_shards=2, num_seen_shards=n_seen)
+        o = oracle_crawl(pages, [root + "/p0.html"], cfg)
+        e = ray_crawl(pages, [root + "/p0.html"], cfg)
+        assert_same_crawl(o, e)
+        crawled = {r["url"] for r in o.fetched if r["status"] == "success"}
+        # f1 appears first on the page => wins the bit; f2 is urlDup
+        assert root + f1.decode() in crawled
+        assert root + f2.decode() not in crawled
+        assert o.answers["urlDup"] >= 1
