@@ -34,9 +34,14 @@ def entry() -> Any:
                            concurrency=2, batch_size=64)
 
 
+_CRAWL_CACHE: dict = {}
+
+
 def _crawl(sf_dir: str):
-    """Deterministic crawl over the synthetic web (scaled by sf tier)."""
-    import pandas as pd
+    """Deterministic crawl over the synthetic web (scaled by sf tier);
+    memoized so crawl_pages/crawl_answers share one run."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
 
     from larbin_ray.config import CrawlConfig
     from larbin_ray.pipelines.crawl import ray_crawl
@@ -49,6 +54,7 @@ def _crawl(sf_dir: str):
     web = gen_web(n_pages, n_domains, seed=42)
     res = ray_crawl(web, default_seeds(n_domains), cfg)
     rows = res.fetched_sorted()
+    _CRAWL_CACHE[sf_dir] = (res, rows)
     return res, rows
 
 
