@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_hash": T.dedup_exact_hash,
         "minhash_dedup": T.minhash_dedup,
         "simhash_dup_pairs": T.simhash_dup_pairs,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         # text analysis
         "token_stats": T.token_stats,
         "token_stats_bpe": T.token_stats_bpe,
@@ -118,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
         "embedding_dup_pairs": S.embedding_dup_pairs,
+        "embedding_dup_pairs_lsh":
+            lambda sf_dir: S.embedding_dup_pairs_lsh(sf_dir, threshold=0.45),
         # multimodal (binary media columns through actor-pool stages)
         "media_features": _media_features,
         # composite curation (dedup keeper + quality gates)
@@ -277,5 +280,68 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # the LSH path is approximate by construction, but with the
+        # shipped deterministic planes (128 planes / 32 bands) its
+        # measured recall on this data is 1.0 (tests/test_textops.py
+        # asserts it), so the exact join is a valid oracle here
+        "embedding_dup_pairs_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks)-2)])
+                         AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.5
+        """,
+        # lang_id heuristic, expressed 1:1 in SQL: zh = CJK char in the
+        # first 400 chars; else stopword-marker argmax over the first
+        # 200 tokens with first-wins tie-break in order en,de,fr,es
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_matches(substr(text, 1, 400), '[\\x{4E00}-\\x{9FFF}]')
+                           AS is_zh,
+                       list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  1, 200) AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, is_zh,
+                    len(list_filter(toks, x -> x IN ('the','and','of','is','to',
+                        'a','in','that','for','with'))) AS n_en,
+                    len(list_filter(toks, x -> x IN ('der','die','das','und','ist',
+                        'nicht','ein','mit','für','von'))) AS n_de,
+                    len(list_filter(toks, x -> x IN ('le','la','les','et','est',
+                        'une','pour','dans','que','des'))) AS n_fr,
+                    len(list_filter(toks, x -> x IN ('el','la','los','y','es',
+                        'una','para','en','que','de'))) AS n_es
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN is_zh THEN 'zh'
+                        WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                        WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                        WHEN n_fr >= n_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM c
         """,
     }

@@ -19,17 +19,21 @@ from ray.data.aggregate import Sum
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return _sized_read(f"{sf_dir}/{table}.parquet", columns)
 
-def _sized_read(path: str, columns=None) -> rd.Dataset:
+def _sized_read(path: str, columns=None, min_blocks: int | None = None) -> rd.Dataset:
     """read_parquet with a block count sized to the file (~8 MiB/block,
     min 2): the default splitting of small files into cpu-count blocks
     makes downstream groupby shuffles quadratically worse on a single
     node (64 tiny blocks -> 20s for a 100k-row window aggregate vs 3s
-    at 4 blocks)."""
+    at 4 blocks).  ``min_blocks``: stages feeding an actor pool pass the
+    pool size here so the pool is never starved (a 2-block read into an
+    8-actor map_batches launches only 2 tasks)."""
     import os as _os
     try:
         nb = max(2, min(32, _os.path.getsize(path) // (8 << 20) + 1))
     except OSError:
         nb = 4
+    if min_blocks:
+        nb = max(nb, min_blocks)
     return rd.read_parquet(path, columns=columns, override_num_blocks=int(nb))
 
 

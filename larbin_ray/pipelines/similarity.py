@@ -2,11 +2,19 @@
 embedding list<float>, label)``).
 
 - brute-force cosine top-k: numpy matmul per batch against a broadcast
-  query matrix (``ray.put`` once, read per actor) — the baseline;
+  query matrix (``ray.put`` once, read per actor), with REAL per-batch
+  local top-k (``np.lexsort`` on the rounded sims) so the driver merge
+  sees only Q x k rows per block, never Q x N;
 - IVF variant: k-means-ish coarse centroids (deterministic seed), probe
-  the nearest ``nprobe`` cells — the 10^10-scale path where the matmul
-  against everything is impossible;
-- embedding near-dup: cosine > threshold pairs via the same broadcast.
+  the nearest ``nprobe`` cells, per-batch top-k — the 10^10-scale path
+  where the matmul against everything is impossible;
+- embedding near-dup (exact): all block pairs scored by distributed Ray
+  tasks over the materialized normalized blocks — O(N^2) compute but
+  distributed and memory-bounded; no driver materialization of the
+  embedding matrix and no full-matrix broadcast;
+- embedding near-dup (LSH): random-hyperplane band bucketing with exact
+  in-bucket verification — the 10^10-scale path (approximate recall;
+  measured against the exact variant in tests/test_textops.py).
 
 All math in float64 with results rounded to 6 dp so the DuckDB oracle
 (``list_cosine_similarity``) hashes identically.
@@ -16,13 +24,14 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
 
-def load_embeddings(sf_dir: str) -> rd.Dataset:
+def load_embeddings(sf_dir: str, min_blocks: int | None = None) -> rd.Dataset:
     from larbin_ray.pipelines.relational import _sized_read
-    return _sized_read(f"{sf_dir}/embeddings.parquet")
+    return _sized_read(f"{sf_dir}/embeddings.parquet", min_blocks=min_blocks)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -35,9 +44,18 @@ def _to_matrix(col) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _topk_rows(qid: int, ids: np.ndarray, sims: np.ndarray, k: int):
+    """Deterministic local top-k: order by (sim desc, neighbor_id asc)
+    over the 6-dp-rounded sims — the same tie-break the global merge
+    uses, so per-batch pruning never changes the final result."""
+    order = np.lexsort((ids, -sims))[:k]
+    return (np.full(len(order), qid, dtype=np.int64), ids[order], sims[order])
+
+
 class KnnScorer:
     """Actor-pool stage: holds the normalized query matrix (fetched from
-    the object store once per actor)."""
+    the object store once per actor).  Emits only each batch's local
+    top-k per query (self-matches excluded batch-side)."""
 
     def __init__(self, queries_ref, k: int):
         qids, qmat = ray.get(queries_ref)
@@ -48,76 +66,233 @@ class KnnScorer:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
         m = _normalize(_to_matrix(df["embedding"]))     # (B, D)
-        sims = self.q @ m.T                              # (Q, B)
+        sims = np.round(self.q @ m.T, 6)                 # (Q, B)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
-            for bi in range(len(ids)):
-                out_q.append(qid)
-                out_n.append(ids[bi])
-                out_s.append(sims[qi, bi])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                             "sim": np.round(out_s, 6)})
+            mask = ids != qid
+            q_col, n_col, s_col = _topk_rows(qid, ids[mask], sims[qi][mask], self.k)
+            out_q.append(q_col)
+            out_n.append(n_col)
+            out_s.append(s_col)
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s)})
 
 
 def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10,
                    concurrency: int | None = None) -> pd.DataFrame:
     """Top-k cosine neighbors of the first ``n_queries`` vectors
-    (excluding self).  Per-batch partial scores -> driver-side top-k
-    merge (the partials are tiny: Q x B rows pre-filtered to each
-    batch's local top-k)."""
-    ds = load_embeddings(sf_dir)
+    (excluding self).  Per-batch local top-k -> driver merge of the
+    tiny Q x k x n_blocks partials."""
+    from larbin_ray.pipelines import pool_size
+    pool = concurrency or pool_size()
+    ds = load_embeddings(sf_dir, min_blocks=pool)
     head = ds.take(n_queries)
     qids = np.asarray([r["vec_id"] for r in head])
     qmat = _to_matrix([r["embedding"] for r in head])
     queries_ref = ray.put((qids, qmat))
 
-    from larbin_ray.pipelines import pool_size
     scored = ds.map_batches(KnnScorer, fn_constructor_args=(queries_ref, k),
-                            batch_format="pandas", concurrency=concurrency or pool_size(),
+                            batch_format="pandas", concurrency=pool,
                             batch_size=1024)
-    all_scores = scored.to_pandas()
-    all_scores = all_scores[all_scores["query_id"] != all_scores["neighbor_id"]]
-    top = (all_scores.sort_values(["query_id", "sim", "neighbor_id"],
-                                  ascending=[True, False, True])
+    partials = scored.to_pandas()       # Q x k x n_blocks rows only
+    top = (partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                ascending=[True, False, True])
            .groupby("query_id").head(k).reset_index(drop=True))
     return top[["query_id", "neighbor_id", "sim"]]
 
 
+# ---------------------------------------------------------------------------
+# embedding near-dup — exact, distributed block-pair join
+
+
+def _pack_block(t: pa.Table) -> pa.Table:
+    """Normalize a batch of embeddings into a flat float64 list column
+    (one object-store block of the pairwise join)."""
+    m = _normalize(_to_matrix(t["embedding"].to_pylist()))
+    return pa.table({
+        "vec_id": t["vec_id"].cast(pa.int64()),
+        "emb": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float64()), m.shape[1]),
+    })
+
+
+def _block_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy()
+    arr = t["emb"].combine_chunks()
+    mat = arr.flatten().to_numpy().reshape(len(t), -1)
+    return ids, mat
+
+
+@ray.remote
+def _score_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
+                      same: bool) -> pa.Table:
+    """One (block_i, block_j) tile of the pairwise cosine join."""
+    ids_a, ma = _block_matrix(ta)
+    ids_b, mb = _block_matrix(tb)
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    if same:
+        keep = ids_a[ii] < ids_b[jj]
+    else:
+        keep = ids_a[ii] != ids_b[jj]
+    ii, jj = ii[keep], jj[keep]
+    a, b = ids_a[ii], ids_b[jj]
+    s = np.round(sims[ii, jj], 6)
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return pa.table({"id_a": pa.array(a2, pa.int64()),
+                     "id_b": pa.array(b2, pa.int64()),
+                     "sim": pa.array(s, pa.float64())})
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
-                        concurrency: int = 4) -> pd.DataFrame:
-    """(id_a, id_b, sim) for cosine >= threshold, id_a < id_b.  The full
-    matrix is broadcast (small side); each batch scores itself against
-    it — at scale, replace the broadcast with LSH bucketing (below)."""
-    ds = load_embeddings(sf_dir)
-    full = ds.to_pandas()
-    ids = full["vec_id"].to_numpy()
-    mat = _normalize(_to_matrix(full["embedding"]))
-    ref = ray.put((ids, mat))
+                        block_rows: int = 2048) -> pd.DataFrame:
+    """(id_a, id_b, sim) for cosine >= threshold, id_a < id_b — exact.
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(ref)
+    The embeddings are normalized + packed into object-store blocks by a
+    map_batches stage; every (i, j<=i) block pair is scored by its own
+    Ray task (a tiled cartesian self-join — the operator Ray Data can't
+    express natively, so raw tasks per SURVEY custom-operator rule (c)).
+    Compute is O(N^2) by definition of the exact op; memory per task is
+    two blocks; the driver only ever holds the qualifying pairs.  For
+    the sub-quadratic scale path see embedding_dup_pairs_lsh."""
+    packed = load_embeddings(sf_dir).map_batches(
+        _pack_block, batch_format="pyarrow", batch_size=block_rows)
+    refs = packed.materialize().to_arrow_refs()
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(_score_block_pair.remote(refs[i], refs[j],
+                                                 threshold, i == j))
+    tiles = [t for t in ray.get(futs) if t.num_rows]
+    if not tiles:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "sim": pd.array([], dtype="float64")})
+    out = pa.concat_tables(tiles).to_pandas()
+    # cross-block tiles score unordered (a,b) once; drop the mirrored
+    # dup that appears when both orders land in one tile set
+    out = out.drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup — random-hyperplane LSH (the 10^10-scale path)
+
+
+class _HyperplaneBander:
+    """Actor-pool stage: signs against a broadcast random-hyperplane
+    matrix -> one row per (band, key) with the normalized vector riding
+    along (the vector is shuffled once per band to its buckets)."""
+
+    def __init__(self, planes_ref, bands: int, n_buckets: int):
+        self.R = ray.get(planes_ref)          # (planes, D)
+        self.bands = bands
+        self.rows = self.R.shape[0] // bands
+        self.n_buckets = n_buckets
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from larbin_ray.pipelines.textops import _mix_bucket
+        ids = df["vec_id"].to_numpy()
         m = _normalize(_to_matrix(df["embedding"]))
-        bids = df["vec_id"].to_numpy()
-        sims = m @ all_mat.T
-        a, b, s = [], [], []
-        for i in range(len(bids)):
-            js = np.nonzero(sims[i] >= threshold)[0]
-            for j in js:
-                if bids[i] < all_ids[j]:
-                    a.append(bids[i])
-                    b.append(all_ids[j])
-                    s.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"id_a": pd.array(a, dtype="int64"),
-                             "id_b": pd.array(b, dtype="int64"),
-                             "sim": pd.array(s, dtype="float64")})
+        bits = (m @ self.R.T) > 0                     # (B, planes)
+        n = len(ids)
+        out = []
+        for b in range(self.bands):
+            chunk = bits[:, b * self.rows:(b + 1) * self.rows]
+            key = np.packbits(chunk, axis=1)
+            key = key @ (np.uint64(256) ** np.arange(key.shape[1], dtype=np.uint64))
+            key = key.astype(np.int64)
+            band = np.full(n, b, dtype=np.int64)
+            out.append(pd.DataFrame({
+                "band": band, "key": key, "vec_id": ids,
+                "bucket": _mix_bucket(band, key, self.n_buckets),
+                "emb": list(m)}))
+        return pd.concat(out, ignore_index=True)
 
-    out = ds.map_batches(score, batch_format="pandas",
-                         batch_size=1024).to_pandas()
+
+def _verify_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact cosine verification inside one shuffle bucket."""
+    g = g[g.duplicated(["band", "key"], keep=False)]
+    out = []
+    for _, grp in g.groupby(["band", "key"], sort=False):
+        ids = grp["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+        sel = order[keep]
+        ids = grp["vec_id"].to_numpy()[sel]
+        if len(ids) < 2:
+            continue
+        m = np.stack(grp["emb"].to_numpy()[sel])
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ok = sims[ia, ib] >= threshold
+        ia, ib = ia[ok], ib[ok]
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        out.append(pd.DataFrame({
+            "id_a": np.where(swap, b, a),
+            "id_b": np.where(swap, a, b),
+            "sim": np.round(sims[ia, ib], 6)}))
+    if not out:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "sim": pd.array([], dtype="float64")})
+    return pd.concat(out, ignore_index=True)
+
+
+def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.7,
+                            planes: int = 128, bands: int = 32,
+                            concurrency: int | None = None) -> pd.DataFrame:
+    """Near-dup pairs via random-hyperplane LSH: band signatures ->
+    groupby(bucket) shuffle (each vector moves once per band) -> exact
+    in-bucket cosine verification -> groupby(pair) dedupe.  Approximate:
+    recall vs the exact join is 1 - (1 - p^r)^b with p = 1 - theta/pi;
+    the defaults give >0.99 for cosine >= 0.7.  Deterministic planes
+    (fixed seed) so results are stable across runs and workers."""
+    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines.textops import shuffle_buckets
+
+    import pyarrow.parquet as pq
+    try:
+        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    except OSError:
+        n_rows = 10_000
+    n_buckets = shuffle_buckets(n_rows * bands)
+    pool = concurrency or pool_size()
+
+    ds = load_embeddings(sf_dir, min_blocks=pool)
+    dim = len(ds.take(1)[0]["embedding"])
+    rng = np.random.RandomState(20240817)
+    planes_ref = ray.put(rng.standard_normal((planes, dim)))
+
+    from larbin_ray.pipelines.reduce import hash_reduce
+
+    banded = ds.map_batches(
+        _HyperplaneBander, fn_constructor_args=(planes_ref, bands, n_buckets),
+        batch_format="pandas", concurrency=pool, batch_size=1024)
+    pairs = (banded.groupby("bucket")
+             .map_groups(lambda g: _verify_bucket(g, threshold),
+                         batch_format="pandas"))
+    out = hash_reduce(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.groupby(["id_a", "id_b"], as_index=False).agg(
+            sim=("sim", "min")),
+        shuffle_buckets(n_rows)).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
                              "sim": pd.array([], dtype="float64")})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return (out[["id_a", "id_b", "sim"]]
+            .astype({"id_a": "int64", "id_b": "int64"})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# IVF
 
 
 def ivf_build_centroids(mat: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
@@ -142,10 +317,11 @@ class IvfScorer:
     """Actor-pool stage: holds centroids + per-query probe sets; each
     batch assigns its vectors to cells and scores only the vectors that
     fall in a probed cell (the pruning that makes IVF the 10^10-scale
-    path — per-batch work drops by ~(1 - nprobe/n_cells))."""
+    path), then keeps its local top-k per query."""
 
-    def __init__(self, state_ref):
+    def __init__(self, state_ref, k: int):
         self.cent, self.qids, self.q, self.probe = ray.get(state_ref)
+        self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
@@ -156,13 +332,18 @@ class IvfScorer:
             mask = np.isin(assign, self.probe[qi]) & (ids != qid)
             if not mask.any():
                 continue
-            sims = m[mask] @ self.q[qi]
-            out_q.extend([qid] * int(mask.sum()))
-            out_n.extend(ids[mask].tolist())
-            out_s.extend(np.round(sims, 6).tolist())
-        return pd.DataFrame({"query_id": pd.array(out_q, dtype="int64"),
-                             "neighbor_id": pd.array(out_n, dtype="int64"),
-                             "sim": pd.array(out_s, dtype="float64")})
+            sims = np.round(m[mask] @ self.q[qi], 6)
+            q_col, n_col, s_col = _topk_rows(qid, ids[mask], sims, self.k)
+            out_q.append(q_col)
+            out_n.append(n_col)
+            out_s.append(s_col)
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                                 "neighbor_id": pd.array([], dtype="int64"),
+                                 "sim": pd.array([], dtype="float64")})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s)})
 
 
 def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
@@ -170,11 +351,12 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
     """IVF-style ANN as a Ray Data pipeline: centroids trained on a
     driver-side sample (small), then an actor-pool map_batches stage
     assigns+prunes+scores per batch against the broadcast (centroids,
-    queries, probe sets); the driver merges only the pruned partial
-    scores into top-k."""
+    queries, probe sets) and emits per-batch local top-k; the driver
+    merges only Q x k x n_blocks pruned partials."""
     from larbin_ray.pipelines import pool_size
 
-    ds = load_embeddings(sf_dir)
+    pool = pool_size()
+    ds = load_embeddings(sf_dir, min_blocks=pool)
     sample = ds.take(2048)          # centroid training sample
     smat = _normalize(_to_matrix([r["embedding"] for r in sample]))
     cent = ivf_build_centroids(smat, n_cells)
@@ -184,9 +366,9 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
     state_ref = ray.put((cent, qids, q, probe))
 
-    scored = ds.map_batches(IvfScorer, fn_constructor_args=(state_ref,),
+    scored = ds.map_batches(IvfScorer, fn_constructor_args=(state_ref, k),
                             batch_format="pandas", batch_size=1024,
-                            concurrency=pool_size()).to_pandas()
+                            concurrency=pool).to_pandas()
     top = (scored.sort_values(["query_id", "sim", "neighbor_id"],
                               ascending=[True, False, True])
            .groupby("query_id").head(k).reset_index(drop=True))

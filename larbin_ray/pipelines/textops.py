@@ -25,10 +25,48 @@ _WS = re.compile(r"\s+")
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+# byte-popcount table (numpy 1.26 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-def load_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+
+
+def _mix_bucket(hi: np.ndarray, lo: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id from two int columns (Fibonacci mixing —
+    builtin hash() is per-process randomized and would break bucketing
+    across workers)."""
+    mix = (hi.astype(np.uint64) << np.uint64(32)) ^ lo.astype(np.uint64)
+    mix *= np.uint64(0x9E3779B97F4A7C15)
+    return (mix >> np.uint64(33)).astype(np.int64) % n_buckets
+
+
+def _doc_rows(sf_dir: str) -> int:
+    """Row count from parquet footer metadata (no data read) — used to
+    derive shuffle bucket counts from the data size."""
+    import pyarrow.parquet as pq
+    try:
+        return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except OSError:
+        return 10_000
+
+
+def shuffle_buckets(n_rows: int, rows_per_bucket: int = 2000,
+                    lo: int = 8, hi: int = 4096) -> int:
+    """Bucket count for groupby(bucket).map_groups shuffles: one python
+    call per *bucket* (not per key), sized so buckets stay ~rows_per_bucket
+    rows and grow with the data (fixed 16 would make one bucket hold
+    millions of rows at 10^10 scale)."""
+    return int(max(lo, min(hi, n_rows // rows_per_bucket + 1)))
+
+
+def load_documents(sf_dir: str, columns: list[str] | None = None,
+                   min_blocks: int | None = None) -> rd.Dataset:
     from larbin_ray.pipelines.relational import _sized_read
-    return _sized_read(f"{sf_dir}/documents.parquet", columns)
+    return _sized_read(f"{sf_dir}/documents.parquet", columns,
+                       min_blocks=min_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +95,14 @@ def _md5_64(s: str) -> int:
 
 def dedup_exact_hash(sf_dir: str) -> rd.Dataset:
     """Exact dedup via 64-bit content hash: the shuffle key is 8 bytes.
-    Returns (doc_id, n_copies) for group keepers (min doc_id)."""
+    Returns (doc_id, n_copies) for group keepers (min doc_id).
+
+    Combiner pattern, fully distributed: per-batch partials (one row per
+    distinct hash per batch — the text never leaves the map stage), then
+    a hash-partitioned bucket reduce (see pipelines.reduce: Ray's
+    sort-aggregate pays per-GROUP python overhead, unusable over
+    unbounded distinct-hash cardinality).  No driver-side merge."""
+    from larbin_ray.pipelines.reduce import hash_reduce
     ds = load_documents(sf_dir, ["doc_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,15 +111,13 @@ def dedup_exact_hash(sf_dir: str) -> rd.Dataset:
         return df.groupby("h", as_index=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
 
-    # combiner pattern: per-batch partials, merged once (the partial set
-    # is one row per distinct hash per batch).  At 100-TB scale the merge
-    # becomes a hash-partitioned reduce (bucket by h % B -> per-bucket
-    # pandas merge); the driver-side merge here is the small-cardinality
-    # fast path.
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.groupby("h", as_index=False).agg(
-        doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
-    return out[["doc_id", "n_copies"]]
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+
+    out = hash_reduce(ds.map_batches(partial, batch_format="pandas"),
+                      ["h"], merge, shuffle_buckets(_doc_rows(sf_dir)))
+    return out.select_columns(["doc_id", "n_copies"])
 
 
 # ---------------------------------------------------------------------------
@@ -145,9 +188,10 @@ class QualityScorer:
 
 def quality_scores(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     from larbin_ray.pipelines import pool_size
-    ds = load_documents(sf_dir, ["doc_id", "text"])
+    pool = concurrency or pool_size()
+    ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
     return ds.map_batches(QualityScorer, batch_format="pandas",
-                          concurrency=concurrency or pool_size(), batch_size=512)
+                          concurrency=pool, batch_size=512)
 
 
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
@@ -233,9 +277,10 @@ class LangId:
 
 def lang_id(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     from larbin_ray.pipelines import pool_size
-    ds = load_documents(sf_dir, ["doc_id", "text"])
+    pool = concurrency or pool_size()
+    ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
     return ds.map_batches(LangId, batch_format="pandas",
-                          concurrency=concurrency or pool_size(), batch_size=512)
+                          concurrency=pool, batch_size=512)
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +325,8 @@ class MinHasher:
         return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
 
 
-def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
+def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int,
+               n_buckets: int) -> pd.DataFrame:
     out_doc, out_band, out_key = [], [], []
     for doc_id, sig in zip(df["doc_id"], df["sig"]):
         sig = np.asarray(sig)
@@ -290,68 +336,208 @@ def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame
             out_doc.append(doc_id)
             out_band.append(b)
             out_key.append(key)
-    return pd.DataFrame({"doc_id": out_doc, "band": out_band, "key": out_key})
+    band_np = np.asarray(out_band, dtype=np.int64)
+    key_np = np.asarray(out_key, dtype=np.int64)
+    return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
+                         "band": band_np, "key": key_np,
+                         "bucket": _mix_bucket(band_np, key_np, n_buckets)})
+
+
+def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one shuffle bucket: (band,key) groups with >=2 members emit
+    all doc pairs (vectorized prefilter; the python loop runs only over
+    the few non-singleton LSH buckets)."""
+    g = g[g.duplicated(["band", "key"], keep=False)]
+    out_a, out_b = [], []
+    for _, grp in g.groupby(["band", "key"], sort=False):
+        ids = np.unique(grp["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
 
 
 def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
-                       concurrency: int | None = None) -> pd.DataFrame:
+                       concurrency: int | None = None) -> rd.Dataset:
     """documents -> minhash signatures (distributed actor pool) -> banded
-    LSH buckets -> candidate pairs (doc_a < doc_b, with the band-match
-    count).
+    (band, key) rows -> groupby(bucket) pair emission -> groupby(pair)
+    band-match count.  Returns a Dataset of (doc_a < doc_b, n_bands).
 
-    The signature + banding stages are distributed map_batches; the
-    bucket-join runs on the collected (band, key, doc_id) table — tiny
-    (bands x docs rows of ints).  At 10^10 docs that join becomes a
-    groupby((band, key)) shuffle whose groups-with->1-member emit pairs;
-    Ray's per-group map_groups costs a python call per *singleton*
-    bucket, which is the wrong trade below millions of docs."""
+    Everything is distributed: the banded rows shuffle by a hash bucket
+    of (band, key) — one python map_groups call per *bucket* (sized by
+    shuffle_buckets, not per LSH key: most LSH keys are singletons and a
+    per-key map_groups would pay a python call each) — and the pair
+    multiplicity reduce is a second small shuffle over candidate pairs
+    only."""
     from larbin_ray.pipelines import pool_size
     rows_per_band = num_hashes // bands
-    ds = load_documents(sf_dir, ["doc_id", "text"])
+    n_buckets = shuffle_buckets(_doc_rows(sf_dir) * bands)
+    pool = concurrency or pool_size()
+    ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_hashes": num_hashes},
-                          batch_format="pandas", concurrency=concurrency or pool_size(),
+                          batch_format="pandas", concurrency=pool,
                           batch_size=512)
     banded = sigs.map_batches(
-        lambda df: _band_rows(df, bands, rows_per_band),
-        batch_format="pandas").to_pandas()
-    # vectorized pre-filter: only buckets with >= 2 members can emit pairs
-    banded = banded[banded.duplicated(["band", "key"], keep=False)]
-    pairs: dict[tuple, int] = {}
-    for _, group in banded.groupby(["band", "key"]):
-        ids = sorted(group["doc_id"].unique())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs[(ids[i], ids[j])] = pairs.get((ids[i], ids[j]), 0) + 1
-    if not pairs:
-        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                             "doc_b": pd.array([], dtype="int64"),
-                             "n_bands": pd.array([], dtype="int64")})
-    items = sorted(pairs.items())
-    return pd.DataFrame({"doc_a": [k[0] for k, _ in items],
-                         "doc_b": [k[1] for k, _ in items],
-                         "n_bands": [v for _, v in items]})
+        lambda df: _band_rows(df, bands, rows_per_band, n_buckets),
+        batch_format="pandas")
+    pairs = (banded.groupby("bucket")
+             .map_groups(_emit_bucket_pairs, batch_format="pandas"))
+
+    def count_bands(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_bands=("doc_a", "size"))
+
+    from larbin_ray.pipelines.reduce import hash_reduce
+    return hash_reduce(pairs, ["doc_a", "doc_b"], count_bands,
+                       shuffle_buckets(_doc_rows(sf_dir)))
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
-    """Candidates verified by exact shingle Jaccard.  The verification
-    broadcast (doc_id -> shingle set) is the small side at test scale;
-    at 100 TB it becomes a cogroup join of candidates with documents."""
+    """Candidates verified by exact shingle Jaccard.
+
+    The verification reads only the *candidate* documents: the candidate
+    doc_id set is broadcast (ray.put once) and each batch computes
+    shingle sets for its members only — the full documents table is never
+    materialized off the workers.  Pair scoring then joins the collected
+    candidate shingle table (small side: |candidates| << corpus) against
+    the pair list."""
     import ray
 
-    cand = minhash_candidates(sf_dir, **kw)
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    docs = load_documents(sf_dir, ["doc_id", "text"]).to_pandas()
-    docs = docs[docs["doc_id"].isin(need)]
-    mh = MinHasher()
-    sh = {d: set(mh.shingles(t).tolist()) for d, t in zip(docs["doc_id"], docs["text"])}
+    cand = (minhash_candidates(sf_dir, **kw).to_pandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    if cand.empty:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "jaccard": pd.array([], dtype="float64")})
+    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(),
+                                     cand["doc_b"].to_numpy()]))
+    need_ref = ray.put(need)     # sorted — batches use searchsorted membership
+
+    def cand_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        need_ids = ray.get(need_ref)
+        ids = df["doc_id"].to_numpy()
+        pos = np.searchsorted(need_ids, ids)
+        pos[pos >= len(need_ids)] = 0
+        mask = need_ids[pos] == ids
+        mh = MinHasher()
+        sub = df[mask]
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(),
+            "sh": [np.sort(mh.shingles(t)) for t in sub["text"]]})
+
+    sh_tbl = load_documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(cand_shingles, batch_format="pandas").to_pandas()
+    sh = {d: s for d, s in zip(sh_tbl["doc_id"], sh_tbl["sh"])}
     out = []
     for a, b in zip(cand["doc_a"], cand["doc_b"]):
         sa, sb = sh[a], sh[b]
-        j = len(sa & sb) / max(1, len(sa | sb))
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / max(1, len(sa) + len(sb) - inter)
         if j >= threshold:
             out.append((a, b, round(j, 6)))
     return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]) \
              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (posting-list join)
+
+
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct token n-gram crc32 hashes (sorted).  crc32 keeps the
+    posting key 4 bytes; gram strings never leave the map stage."""
+    toks = _WS.split(text.lower().strip())
+    if len(toks) < n:
+        return np.empty(0, dtype=np.int64)
+    vals = {zlib.crc32(" ".join(toks[i:i + n]).encode())
+            for i in range(len(toks) - n + 1)}
+    return np.fromiter(vals, dtype=np.int64, count=len(vals))
+
+
+def _emit_gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one shuffle bucket: co-occurring doc pairs per gram, with
+    multiplicity 1 per gram (the downstream Count sums to |A ∩ B|)."""
+    g = g[g.duplicated("gram", keep=False)]
+    out_a, out_b = [], []
+    for _, grp in g.groupby("gram", sort=False):
+        ids = np.sort(grp["doc_id"].to_numpy())
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs: (doc_a < doc_b, jaccard)
+    with jaccard >= threshold over distinct token n-gram sets.
+
+    Posting-list join, fully distributed: documents -> (gram, doc_id)
+    posting rows (+ per-doc set size) -> groupby(bucket-of-gram) pair
+    emission -> groupby(pair) Count = |A ∩ B| -> jaccard from the
+    broadcast per-doc sizes (one int per doc — the small side).  The
+    emission volume is sum over grams of C(df, 2): exact by definition;
+    the MinHash pipeline is the approximate scale path when that sum
+    explodes."""
+    n_buckets = shuffle_buckets(_doc_rows(sf_dir) * 64, rows_per_bucket=50_000)
+    ds = load_documents(sf_dir, ["doc_id", "text"])
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        docs, grams = [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            h = _gram_hashes(t, n)
+            docs.append(np.full(len(h), d, dtype=np.int64))
+            grams.append(h)
+        gram_np = np.concatenate(grams) if grams else np.empty(0, np.int64)
+        doc_np = np.concatenate(docs) if docs else np.empty(0, np.int64)
+        return pd.DataFrame({
+            "doc_id": doc_np, "gram": gram_np,
+            "bucket": _mix_bucket(np.zeros(len(gram_np), dtype=np.int64),
+                                  gram_np, n_buckets)})
+
+    from larbin_ray.pipelines.reduce import hash_reduce
+
+    posted = ds.map_batches(postings, batch_format="pandas").materialize()
+    # per-doc set size = posting count per doc: per-batch partial counts,
+    # merged on the driver (one int per doc — the small side)
+    sizes_df = (posted.map_batches(
+        lambda df: df.groupby("doc_id", as_index=False).agg(sz=("gram", "size")),
+        batch_format="pandas").to_pandas()
+        .groupby("doc_id", as_index=False).agg(sz=("sz", "sum")))
+    size_of = dict(zip(sizes_df["doc_id"], sizes_df["sz"]))
+
+    def count_inter(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("doc_a", "size"))
+
+    pairs = (posted.groupby("bucket")
+             .map_groups(_emit_gram_pairs, batch_format="pandas"))
+    inter = hash_reduce(pairs, ["doc_a", "doc_b"], count_inter,
+                        shuffle_buckets(_doc_rows(sf_dir))).to_pandas()
+    if inter.empty:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "jaccard": pd.array([], dtype="float64")})
+    na = inter["doc_a"].map(size_of).to_numpy(dtype=np.int64)
+    nb = inter["doc_b"].map(size_of).to_numpy(dtype=np.int64)
+    iv = inter["inter"].to_numpy(dtype=np.int64)
+    union = np.maximum(na + nb - iv, 1)
+    j = np.round(iv / union, 6)
+    out = pd.DataFrame({"doc_a": inter["doc_a"].astype("int64"),
+                        "doc_b": inter["doc_b"].astype("int64"),
+                        "jaccard": j})
+    out = out[out["jaccard"] >= threshold]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +546,8 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
 
 class SimHasher:
     """64-bit simhash over token 2-grams (deterministic md5 feature
-    hashes)."""
+    hashes).  The per-feature bit loop is vectorized: all feature
+    digests unpack to a (n_features, 64) bit matrix in one numpy call."""
 
     def __init__(self, nbits: int = 64):
         self.nbits = nbits
@@ -368,16 +555,18 @@ class SimHasher:
 
     def simhash(self, text: str) -> int:
         toks = self.ws.split(text.lower().strip())
-        v = np.zeros(self.nbits, dtype=np.int64)
-        for i in range(len(toks) - 1):
-            h = _md5_64(toks[i] + " " + toks[i + 1])
-            for b in range(self.nbits):
-                v[b] += 1 if (h >> b) & 1 else -1
-        out = 0
-        for b in range(self.nbits):
-            if v[b] > 0:
-                out |= 1 << b
-        return out - (1 << 63)  # store as signed int64
+        n = len(toks) - 1
+        if n <= 0:
+            return -(1 << 63)
+        dig = np.frombuffer(
+            b"".join(hashlib.md5((toks[i] + " " + toks[i + 1]).encode()).digest()[:8]
+                     for i in range(n)), dtype=np.uint8).reshape(n, 8)
+        # _md5_64 reads the 8 bytes big-endian: byte 7 holds bits 0-7, so
+        # reversing the byte axis + little bitorder yields column b = bit b
+        bits = np.unpackbits(dig[:, ::-1], axis=1, bitorder="little")
+        v = bits.sum(axis=0, dtype=np.int64) * 2 - n   # (+1/-1 vote sums)
+        raw = int(np.packbits(v > 0, bitorder="little").view("<u8")[0])
+        return raw - (1 << 63)  # stored biased-signed (legacy layout)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -388,36 +577,84 @@ class SimHasher:
 
 def simhash_signatures(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     from larbin_ray.pipelines import pool_size
-    ds = load_documents(sf_dir, ["doc_id", "text"])
+    pool = concurrency or pool_size()
+    ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
     return ds.map_batches(SimHasher, batch_format="pandas",
-                          concurrency=concurrency or pool_size(), batch_size=512)
+                          concurrency=pool, batch_size=512)
+
+
+def _simhash_chunk_rows(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+    """(doc_id, simhash) -> 4 rows per doc: (chunk 0-3, 16-bit chunk
+    value) plus the shuffle bucket — a pair within hamming distance 3
+    agrees on at least one of the 4 chunks (pigeonhole)."""
+    vals = (df["simhash"].to_numpy().astype(np.int64)
+            .view(np.uint64) + np.uint64(1 << 63))
+    ids = df["doc_id"].to_numpy()
+    n = len(ids)
+    chunk = np.repeat(np.arange(4, dtype=np.int64), n)
+    doc = np.tile(ids, 4)
+    sig = np.tile(vals, 4)
+    cval = ((sig >> (chunk.astype(np.uint64) * np.uint64(16)))
+            & np.uint64(0xFFFF)).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": doc, "chunk": chunk, "cval": cval,
+        "sig": sig.astype(np.int64),   # two's-complement carry of uint64
+        "bucket": _mix_bucket(chunk, cval, n_buckets)})
+
+
+def _emit_simhash_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    g = g[g.duplicated(["chunk", "cval"], keep=False)]
+    out_a, out_b, out_d = [], [], []
+    for _, grp in g.groupby(["chunk", "cval"], sort=False):
+        ids = grp["doc_id"].to_numpy()
+        sig = grp["sig"].to_numpy().view(np.uint64)
+        order = np.argsort(ids)
+        ids, sig = ids[order], sig[order]
+        keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+        ids, sig = ids[keep], sig[keep]
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = _popcount64(sig[ia] ^ sig[ib])
+        ok = d <= max_hamming
+        out_a.append(ids[ia][ok])
+        out_b.append(ids[ib][ok])
+        out_d.append(d[ok])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "hamming": pd.array([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b),
+                         "hamming": np.concatenate(out_d)})
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs by simhash hamming distance, bucketed by 16-bit
-    chunks (a pair within distance 3 shares at least one of 4 chunks)."""
-    sigs = simhash_signatures(sf_dir).to_pandas()
-    vals = (sigs["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-    ids = sigs["doc_id"].to_numpy()
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i, v in enumerate(vals):
-        for c in range(4):
-            chunk = int((v >> np.uint64(16 * c)) & np.uint64(0xFFFF))
-            buckets.setdefault((c, chunk), []).append(i)
-    seen_pairs = set()
-    out = []
-    for members in buckets.values():
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                i, j = members[x], members[y]
-                if (i, j) in seen_pairs:
-                    continue
-                seen_pairs.add((i, j))
-                d = int(bin(int(vals[i]) ^ int(vals[j])).count("1"))
-                if d <= max_hamming:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out.append((a, b, d))
-    return pd.DataFrame(sorted(set(out)), columns=["doc_a", "doc_b", "hamming"])
+    chunks (a pair within distance 3 shares at least one of 4 chunks).
+
+    Distributed end to end: signatures (actor pool) -> 4 chunk rows per
+    doc -> groupby(bucket) vectorized pair emission -> groupby(pair)
+    dedupe (a pair can match in several chunks; Min folds the copies).
+    The driver sees only the final pair list."""
+    n_buckets = shuffle_buckets(_doc_rows(sf_dir) * 4)
+    sigs = simhash_signatures(sf_dir)
+    chunked = sigs.map_batches(
+        lambda df: _simhash_chunk_rows(df, n_buckets), batch_format="pandas")
+    from larbin_ray.pipelines.reduce import hash_reduce
+    pairs = (chunked.groupby("bucket")
+             .map_groups(lambda g: _emit_simhash_pairs(g, max_hamming),
+                         batch_format="pandas"))
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            hamming=("hamming", "min"))
+
+    out = hash_reduce(pairs, ["doc_a", "doc_b"], dedupe,
+                      shuffle_buckets(_doc_rows(sf_dir))).to_pandas()
+    return (out[["doc_a", "doc_b", "hamming"]]
+            .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +671,17 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
     decision, the shape of a real corpus-curation job.
 
     SQL oracle: join of the GROUP BY text keeper subquery with the same
-    token/stopword expressions."""
+    token/stopword expressions.
+
+    Distributed shape: the scored table (slim int/float columns — text
+    never leaves the map stage) is materialized in the object store; the
+    keeper set comes from a Ray ``groupby(h).aggregate(Min)`` reduce and
+    is broadcast (``ray.put`` of a sorted id array — the keeper-id side
+    is one int per distinct text, the classic small side of a broadcast
+    join; at extreme cardinality this becomes a bucketed cogroup on h);
+    the final keep-filter runs vectorized per batch."""
+    import ray
+
     ds = load_documents(sf_dir, ["doc_id", "text"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -450,13 +697,28 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
             "stop_ratio": ratio.round(6),
         })
 
-    scored = ds.map_batches(score, batch_format="pandas").to_pandas()
-    keepers = scored.groupby("h", as_index=False).agg(keeper=("doc_id", "min"))
-    merged = scored.merge(keepers, on="h")
-    kept = merged[(merged["doc_id"] == merged["keeper"])
-                  & (merged["n_tokens"] >= min_tokens)
-                  & (merged["n_tokens"] <= max_tokens)
-                  & (merged["stop_ratio"] >= min_stop_ratio)]
-    out = kept[["doc_id", "n_tokens", "stop_ratio"]].copy()
-    out["keep_reason"] = "keeper+quality"
+    from larbin_ray.pipelines.reduce import hash_reduce
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+    keepers = hash_reduce(
+        scored, ["h"],
+        lambda df: df.groupby("h", as_index=False).agg(keeper=("doc_id", "min")),
+        shuffle_buckets(_doc_rows(sf_dir))).to_pandas()["keeper"].to_numpy()
+    keeper_ref = ray.put(np.sort(keepers))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        kset = ray.get(keeper_ref)
+        ids = df["doc_id"].to_numpy()
+        pos = np.searchsorted(kset, ids)
+        pos[pos >= len(kset)] = 0
+        is_keeper = kset[pos] == ids
+        kept = df[is_keeper
+                  & (df["n_tokens"] >= min_tokens)
+                  & (df["n_tokens"] <= max_tokens)
+                  & (df["stop_ratio"] >= min_stop_ratio)]
+        out = kept[["doc_id", "n_tokens", "stop_ratio"]].copy()
+        out["keep_reason"] = "keeper+quality"
+        return out
+
+    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

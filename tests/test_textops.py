@@ -12,7 +12,7 @@ def test_dedup_exact_matches_hash_path(ray_session):
     from larbin_ray.pipelines.textops import dedup_exact, dedup_exact_hash
 
     a = dedup_exact(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    b = dedup_exact_hash(SF).sort_values("doc_id").reset_index(drop=True)
+    b = dedup_exact_hash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = b.astype(a.dtypes.to_dict())
     assert a.equals(b)
     assert a["n_copies"].sum() == 500
@@ -124,3 +124,83 @@ def test_events_asof_prev_error(ray_session):
         assert err["event_type"] == "error"
         assert err["user_id"] == r["user_id"]
         assert err["ts"] <= r["ts"]
+
+
+def test_simhash_matches_bruteforce(ray_session):
+    """The distributed chunk-bucketed pipeline equals the exact all-pairs
+    hamming join (pigeonhole: d<=3 pairs agree on one of 4 chunks)."""
+    import numpy as np
+
+    from larbin_ray.pipelines.textops import (_popcount64, simhash_dup_pairs,
+                                              simhash_signatures)
+
+    sigs = simhash_signatures(SF).to_pandas()
+    vals = sigs["simhash"].to_numpy().view(np.uint64) + np.uint64(1 << 63)
+    ids = sigs["doc_id"].to_numpy()
+    ia, ib = np.triu_indices(len(ids), k=1)
+    d = _popcount64(vals[ia] ^ vals[ib])
+    ok = d <= 3
+    exact = sorted(zip(np.minimum(ids[ia][ok], ids[ib][ok]),
+                       np.maximum(ids[ia][ok], ids[ib][ok]), d[ok]))
+    got = sorted(map(tuple, simhash_dup_pairs(SF, max_hamming=3).values))
+    assert got == exact
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    from larbin_ray.pipelines.textops import _gram_hashes, ngram_jaccard_pairs
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sets = {d: set(_gram_hashes(t, 3).tolist())
+            for d, t in zip(docs["doc_id"], docs["text"])}
+    ids = sorted(sets)
+    exact = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+            if j >= 0.5:
+                exact.append((a, b, round(j, 6)))
+    got = sorted(map(tuple, ngram_jaccard_pairs(SF).values))
+    assert got == sorted(exact)
+
+
+def test_minhash_recall_vs_exact_jaccard(ray_session):
+    """LSH candidates + exact verification: output pairs must be a
+    subset of the exact-Jaccard pairs at the threshold, and recall on
+    high-similarity pairs (j >= 0.8) must be high."""
+    from larbin_ray.pipelines.textops import MinHasher, minhash_dedup
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    mh = MinHasher()
+    sets = {d: set(mh.shingles(t).tolist())
+            for d, t in zip(docs["doc_id"], docs["text"])}
+    ids = sorted(sets)
+    exact, high = set(), set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            j = len(sa & sb) / max(1, len(sa) + len(sb) - len(sa & sb))
+            if j >= 0.7:
+                exact.add((a, b))
+            if j >= 0.8:
+                high.add((a, b))
+    got = set(map(tuple, minhash_dedup(SF, threshold=0.7)
+                  [["doc_a", "doc_b"]].values))
+    assert got <= exact                      # precision 1 (exact verify)
+    if high:
+        assert len(got & high) / len(high) >= 0.9
+
+
+def test_embedding_lsh_recall(ray_session):
+    """Deterministic-seed hyperplane LSH: precision 1 (exact in-bucket
+    verify) and full recall on this data at threshold 0.45."""
+    from larbin_ray.pipelines.similarity import (embedding_dup_pairs,
+                                                 embedding_dup_pairs_lsh)
+
+    exact = set(map(tuple, embedding_dup_pairs(SF, threshold=0.45)
+                    [["id_a", "id_b"]].values))
+    lsh = set(map(tuple, embedding_dup_pairs_lsh(SF, threshold=0.45)
+                  [["id_a", "id_b"]].values))
+    assert lsh == exact
