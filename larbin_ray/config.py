@@ -70,6 +70,16 @@ class CrawlConfig:
     lock_site: bool = False
     limit_page: int = 0                         # 0 = unlimited
     limit_time: int = 0                         # seconds of simulated time
+    # per-host RAM cap (maxUrlsBySite, types.h:43 + site.cxx:136-175):
+    # a host holding this many urls overflows new ones to a wait fifo
+    # that is recycled through admission at each tick start
+    # (main.cxx:190-199 / sequencer readWait).  0 = unlimited.
+    max_urls_by_site: int = 0
+    # per-IP per-tick dispatch budget in drain mode (the sequencer /
+    # Interval analog, sequencer.cxx:36-54 + types.h:39): bounds how
+    # much of an IP queue one tick may drain, so a viral host cannot
+    # produce an unbounded generation.  0 = drain fully.
+    max_dispatch_per_ip: int = 0
 
     # ---- engine-side knobs (no reference equivalent; scale tuning) ----
     num_scheduler_shards: int = 8    # host/IP scheduler actor pool size

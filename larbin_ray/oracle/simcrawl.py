@@ -37,6 +37,7 @@ class CrawlResult:
     failures: list[tuple[str, str, tuple]] = field(default_factory=list)
     seen_indices: np.ndarray | None = None
     n_fetched: int | None = None      # set by the engine in build_rows=False mode
+    max_host_ram: int = 0             # high-water per-host RAM (maxUrlsBySite)
 
     def fetched_count(self) -> int:
         return self.n_fetched if self.n_fetched is not None else len(self.fetched)
@@ -163,4 +164,5 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
     res.answers.update(core.answers)
     res.failures = list(core.failures)
     res.seen_indices = seen.set_indices()
+    res.max_host_ram = core.max_host_ram
     return res

@@ -258,6 +258,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     fetch_fn = make_fetch_fn(pages_ref)
     parse = ParseExtract(cfg)
     res = CrawlResult()
+    if not build_rows:
+        res.n_fetched = 0
     keep_text = out_dir is None
     meta_tables: list[pa.Table] = []
     metrics_rows: list[dict] = []
@@ -415,7 +417,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 os.makedirs(d, exist_ok=True)
                 pq.write_table(meta, f"{d}/part-0.parquet")
             meta = meta.drop_columns(["text"])
-        meta_tables.append(meta)
+        if build_rows:
+            meta_tables.append(meta)
+        else:
+            # throughput mode: aggregate incrementally, hold nothing —
+            # driver memory stays flat over arbitrarily long crawls
+            res.n_fetched += meta.num_rows
         _clk("meta", _t0)
 
         _t0 = _time.time()
@@ -452,9 +459,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             break
 
     # ---- build the result rows once ----
-    res.n_fetched = sum(t.num_rows for t in meta_tables)
-    if not build_rows:
-        meta_tables.clear()
+    if build_rows:
+        res.n_fetched = sum(t.num_rows for t in meta_tables)
     for t in meta_tables:
         has_text = "text" in t.column_names
         texts = t["text"].to_pylist() if has_text else None
@@ -476,6 +482,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     for st in ray.get([s.stats.remote() for s in sched]):
         res.answers.update(st["answers"])
         res.failures.extend(st["failures"])
+        res.max_host_ram = max(res.max_host_ram, st.get("max_host_ram", 0))
     res.seen_indices = gather_seen_indices(seen)
     if checkpoint_dir and metrics_rows:
         import pyarrow.parquet as pq

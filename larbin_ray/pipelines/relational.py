@@ -38,6 +38,16 @@ def _sized_read(path: str, columns=None, min_blocks: int | None = None) -> rd.Da
 
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer (no data read) — sizes shuffle
+    bucket counts to the data instead of a hard-coded constant."""
+    import pyarrow.parquet as pq
+    try:
+        return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    except OSError:
+        return 100_000
+
+
 def doc_count_by_lang_source(sf_dir: str) -> rd.Dataset:
     """groupby count — the crawl's answers[]-histogram analog
     (debug.h:104 -> results.groupby(status).count()).  Partial counts
@@ -108,11 +118,16 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
     state; ordering assumption: one group fits in memory)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    # bucket users (16 shuffle groups instead of one python map_groups
-    # call per user); all events of a user land in one bucket, so the
-    # per-user windowing inside the bucket is exact
+    # bucket users (a few shuffle groups instead of one python
+    # map_groups call per user); all events of a user land in one
+    # bucket, so the per-user windowing inside the bucket is exact.
+    # Bucket count derives from the data size (~10k events/bucket).
+    from larbin_ray.pipelines.textops import shuffle_buckets
+    n_buckets = shuffle_buckets(_table_rows(sf_dir, "events"),
+                                rows_per_bucket=10_000)
+
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = df["user_id"] % 16
+        df["bucket"] = df["user_id"] % n_buckets
         return df
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -224,19 +239,35 @@ def events_asof_prev_error(sf_dir: str) -> rd.Dataset:
     ``pd.merge_asof`` (the documented composition for as-of/range joins:
     partition by the equality key, order by time within the partition).
     Inner semantics — events before a user's first error are dropped —
-    matching DuckDB's ASOF JOIN oracle."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    matching DuckDB's ASOF JOIN oracle.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        errors = g.loc[g["event_type"] == "error", ["ts", "event_id"]] \
+    Bucketed like sessionize_events: users hash into a few shuffle
+    buckets (one python call per bucket, not per user) and the whole
+    bucket joins in ONE vectorized ``pd.merge_asof(..., by="user_id")``
+    — the per-key as-of matching runs in C."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    from larbin_ray.pipelines.textops import shuffle_buckets
+    n_buckets = shuffle_buckets(_table_rows(sf_dir, "events"),
+                                rows_per_bucket=10_000)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = df["user_id"] % n_buckets
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        errors = g.loc[g["event_type"] == "error",
+                       ["ts", "user_id", "event_id"]] \
                   .rename(columns={"event_id": "prev_error_id"})
         if errors.empty:
             return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
                                  "prev_error_id": pd.array([], dtype="int64")})
-        m = pd.merge_asof(g, errors, on="ts", direction="backward",
-                          allow_exact_matches=True)
+        m = pd.merge_asof(g, errors, on="ts", by="user_id",
+                          direction="backward", allow_exact_matches=True)
         m = m.dropna(subset=["prev_error_id"])
         return m[["event_id", "prev_error_id"]].astype("int64")
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .select_columns(["event_id", "prev_error_id"]))

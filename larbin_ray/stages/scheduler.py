@@ -155,7 +155,9 @@ class SchedulerShardCore:
         return {"answers": dict(self.core.answers),
                 "failures": list(self.core.failures),
                 "hosts": len(self.core.hosts),
-                "ips": len(self.core.ips)}
+                "ips": len(self.core.ips),
+                "max_host_ram": self.core.max_host_ram,
+                "overflow": len(self.core.overflow)}
 
     # ---- checkpoint / restore (SURVEY.md K6/K7, S3/S4) ----
     # The reference persists disk fifos + the seen bitset on a rotation
@@ -189,6 +191,15 @@ class SchedulerShardCore:
                 f_kind.append("pending")
                 f_pos.append(pos)
                 f_cookie.append(rec.cookie)
+        for pos, rec in enumerate(self.core.overflow):
+            f_host.append(rec.host)
+            f_port.append(rec.port)
+            f_file.append(rec.file)
+            f_depth.append(rec.depth)
+            f_ip.append("")
+            f_kind.append("overflow")
+            f_pos.append(pos)
+            f_cookie.append(rec.cookie)
         frontier = _pa.table({
             "host": _pa.array(f_host, _pa.binary()),
             "port": _pa.array(f_port, _pa.int32()),
@@ -251,8 +262,14 @@ class SchedulerShardCore:
             rec = UrlRec(hname, hport, file, depth, cookie=ck)
             if kind == "queue":
                 core.ips.setdefault(ip_str, IPState()).queue.append(rec)
-            else:
+                h = core.hosts.get((core.site_key(hname), hport))
+                if h is not None:
+                    h.nburls += 1
+            elif kind == "pending":
                 core.hosts[(hname, hport)].pending.append(rec)
+                core.hosts[(hname, hport)].nburls += 1
+            else:           # overflow (maxUrlsBySite wait fifo)
+                core.overflow.append(rec)
 
 
 @ray.remote

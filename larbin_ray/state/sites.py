@@ -79,6 +79,9 @@ class HostState:
     robots: list = field(default_factory=list)
     robots_inflight: bool = False
     pending: deque = field(default_factory=deque)
+    # urls of this host currently held in RAM (pending + IP-queued);
+    # the maxUrlsBySite cap compares against this (site.cxx nburls)
+    nburls: int = 0
 
 
 @dataclass
@@ -102,6 +105,10 @@ class SchedulerCore:
         self.unresolved: list[tuple[bytes, int]] = []   # creation order
         self.answers: Counter = Counter()
         self.failures: list[tuple[str, str, tuple]] = []  # (url, reason, key)
+        # maxUrlsBySite wait fifo (URLsDiskWait analog): urls refused by
+        # the per-host RAM cap, recycled through admission at tick start
+        self.overflow: deque = deque()
+        self.max_host_ram = 0       # high-water mark of any host's nburls
 
     # ---- admission phase 1: initOK fast-fails (url.cxx:371-389) ----
 
@@ -133,25 +140,50 @@ class SchedulerCore:
 
     def enqueue(self, recs: list[UrlRec]) -> None:
         for rec in recs:
-            key = (self.site_key(rec.host), rec.port)
-            h = self.hosts.get(key)
-            if h is None:
-                h = HostState(key[0], rec.port)
-                self.hosts[key] = h
-                self.unresolved.append(key)
-            if h.dns_state == "wait":
-                h.pending.append(rec)
-            elif h.dns_state == "done":
-                self._transfer(h, rec)
-            elif h.dns_state == "error":
+            self._route(rec)
+
+    def _route(self, rec: UrlRec) -> None:
+        """putGenericUrl (site.cxx:136-205): per-host RAM cap with the
+        forgettable-fast-path, else wait-fifo overflow, else route by
+        DNS state."""
+        key = (self.site_key(rec.host), rec.port)
+        h = self.hosts.get(key)
+        if h is None:
+            h = HostState(key[0], rec.port)
+            self.hosts[key] = h
+            self.unresolved.append(key)
+        cap = self.cfg.max_urls_by_site
+        if cap and h.nburls >= cap:
+            # site.cxx:140-173 — at cap: forget what is already
+            # decidable, push the rest back to the wait fifo
+            if h.dns_state == "error":
                 self._forget(rec, "noDNS")
-            else:
+            elif h.dns_state == "noconn":
                 self._forget(rec, "noConnection")
+            elif h.dns_state == "done" and not test_robots(
+                    rec.file, h.robots, self.cfg.ignore_robots):
+                self._forget(rec, "forbiddenRobots")
+            else:
+                self.overflow.append(rec)
+            return
+        if h.dns_state == "wait":
+            h.pending.append(rec)
+            h.nburls += 1
+        elif h.dns_state == "done":
+            self._transfer(h, rec)
+        elif h.dns_state == "error":
+            self._forget(rec, "noDNS")
+        else:
+            self._forget(rec, "noConnection")
+        if cap and h.nburls > self.max_host_ram:
+            self.max_host_ram = h.nburls
 
     def _transfer(self, h: HostState, rec: UrlRec) -> None:
-        """NamedSite::transfer site.cxx:482-496."""
+        """NamedSite::transfer site.cxx:482-496.  ``rec`` arrives
+        uncounted; a queued rec counts against the host's RAM cap."""
         if test_robots(rec.file, h.robots, self.cfg.ignore_robots):
             self.ips[h.ip].queue.append(rec)
+            h.nburls += 1
         else:
             self._forget(rec, "forbiddenRobots")
 
@@ -161,7 +193,19 @@ class SchedulerCore:
 
     # ---- tick phase: resolve fresh hosts, emit robots fetches ----
 
+    def recycle_overflow(self) -> None:
+        """Tick-start re-admission of the maxUrlsBySite wait fifo
+        (main.cxx:190-199 cron readWait + sequencer canGetUrl): each
+        entry re-runs putGenericUrl routing; hosts still at cap push
+        their entries back, preserving order."""
+        if not self.overflow:
+            return
+        pend, self.overflow = self.overflow, deque()
+        for rec in pend:
+            self._route(rec)
+
     def resolve_new_hosts(self, tick: int) -> list[dict]:
+        self.recycle_overflow()
         robots_rows: list[dict] = []
         for key in self.unresolved:
             h = self.hosts[key]
@@ -171,10 +215,12 @@ class SchedulerCore:
             if status == "error":
                 h.dns_state = "error"
                 while h.pending:
+                    h.nburls -= 1
                     self._forget(h.pending.popleft(), "noDNS")
             elif status == "noconn":
                 h.dns_state = "noconn"
                 while h.pending:
+                    h.nburls -= 1
                     self._forget(h.pending.popleft(), "noConnection")
             else:
                 h.ip = ip
@@ -204,6 +250,7 @@ class SchedulerCore:
         h.robots_inflight = False
         h.dns_state = "done"
         while h.pending:
+            h.nburls -= 1
             self._transfer(h, h.pending.popleft())
 
     # ---- tick phase: politeness dispatch ----
@@ -214,6 +261,11 @@ class SchedulerCore:
         cols = {k: [] for k in ("url", "host", "port", "ip", "depth",
                                 "is_robots", "tick", "sub", "cookie")}
         drain = self.cfg.wait_duration == 0
+        # per-IP per-tick budget: politeness mode is 1/tick; drain mode
+        # takes the whole queue unless max_dispatch_per_ip bounds the
+        # generation size (the sequencer/Interval analog)
+        budget = (self.cfg.max_dispatch_per_ip or None) if drain else 1
+        cap = self.cfg.max_urls_by_site
         for ip_str in sorted(self.ips):
             st = self.ips[ip_str]
             if not st.queue:
@@ -222,6 +274,10 @@ class SchedulerCore:
             while st.queue:
                 rec = st.queue.popleft()
                 st.last_tick = tick
+                if cap:
+                    h = self.hosts.get((self.site_key(rec.host), rec.port))
+                    if h is not None:
+                        h.nburls -= 1
                 cols["url"].append(rec.url_str())
                 cols["host"].append(rec.host.decode("latin-1"))
                 cols["port"].append(rec.port)
@@ -232,7 +288,7 @@ class SchedulerCore:
                 cols["sub"].append(sub)
                 cols["cookie"].append(rec.cookie)
                 sub += 1
-                if not drain:
+                if budget is not None and sub >= budget:
                     break
         return cols
 
@@ -246,6 +302,7 @@ class SchedulerCore:
     def queued_count(self) -> int:
         n = sum(len(st.queue) for st in self.ips.values())
         n += sum(len(h.pending) for h in self.hosts.values())
+        n += len(self.overflow)
         n += len(self.unresolved)
         n += sum(1 for h in self.hosts.values() if h.robots_inflight)
         return n

@@ -251,3 +251,74 @@ def test_seen_set_collision_parity(ray_session):
         assert root + f1.decode() in crawled
         assert root + f2.decode() not in crawled
         assert o.answers["urlDup"] >= 1
+
+
+def test_hot_host_cap_and_dispatch_budget(ray_session):
+    """One viral host holds ~60% of all links (the skew case from
+    SURVEY.md §4): with maxUrlsBySite (site.cxx:136-175, types.h:43)
+    and a per-IP dispatch budget (sequencer.cxx:36-54 analog) the crawl
+    stays bit-identical to the oracle at two shard counts, every page
+    is still reached (overflow recycling, main.cxx:190-199), and no
+    host ever holds more than the cap in RAM."""
+    import pyarrow as pa
+
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    hot = "http://siteaa.example"
+    cold = ["http://site" + c + ".example" for c in ("ab", "ac", "ad")]
+    urls, bodies, texts = [], [], []
+    # hub page on each cold host links to many hot-host pages + one local
+    hot_files = [f"/h{i:03d}.html" for i in range(60)]
+    for ci, c in enumerate(cold):
+        links = "".join(f'<a href="{hot}{f}">x</a>' for f in hot_files)
+        links += f'<a href="{c}/local.html">l</a>'
+        urls.append(c + "/index.html")
+        bodies.append(_mini_response(f"<html>{links}</html>".encode()))
+        texts.append("")
+        urls.append(c + "/local.html")
+        bodies.append(_mini_response(b"cold page " + str(ci).encode()))
+        texts.append("")
+    for f in hot_files:
+        urls.append(hot + f)
+        bodies.append(_mini_response(b"hot " + f.encode()))
+        texts.append("")
+    pages = pa.table({
+        "url": urls,
+        "warc_ts": pa.array(list(range(len(urls))), pa.timestamp("us")),
+        "html": pa.array(bodies, pa.binary()),
+        "text": texts,
+        "lang": ["en"] * len(urls),
+    })
+    seeds = [c + "/index.html" for c in cold]
+    for shards in ((1, 1), (3, 2)):
+        cfg = CrawlConfig(wait_duration=0, max_urls_by_site=8,
+                          max_dispatch_per_ip=16,
+                          num_scheduler_shards=shards[0],
+                          num_seen_shards=shards[1])
+        o = oracle_crawl(pages, seeds, cfg)
+        e = ray_crawl(pages, seeds, cfg)
+        assert_same_crawl(o, e)
+        # every page reached despite the cap (overflow recycling works)
+        assert o.answers["success"] == len(urls)
+        # the per-host RAM bound held in oracle and engine
+        assert 0 < o.max_host_ram <= 8
+        assert 0 < e.max_host_ram <= 8
+        # budget bounds the per-tick generation from the hot IP
+        from collections import Counter as _C
+        per_tick_ip = _C((r["tick"], r["ip"]) for r in o.fetched
+                         if not r["is_robots"])
+        assert max(per_tick_ip.values()) <= 16
+
+
+def test_politeness_mode_with_host_cap(ray_session):
+    """maxUrlsBySite under politeness (1 fetch/IP/tick): parity holds
+    over the long tick sequence the cap+recycle interplay produces."""
+    web = gen_web(60, 6, seed=42)
+    seeds = default_seeds(6)
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(depth_by_site=True, max_urls_by_site=4,
+                      num_scheduler_shards=2, num_seen_shards=2)
+    o = oracle_crawl(web, seeds, cfg)
+    e = ray_crawl(web, seeds, cfg)
+    assert_same_crawl(o, e)
