@@ -80,6 +80,12 @@ class CrawlConfig:
     # much of an IP queue one tick may drain, so a viral host cannot
     # produce an unbounded generation.  0 = drain fully.
     max_dispatch_per_ip: int = 0
+    # timeout model (types.h:46-47 + fetch_pipe.cxx:48-72): a fetch is
+    # allowed timeout_page seconds plus 1 s per timeout_incr bytes
+    # delivered; a pages-table row whose latency_ms exceeds that budget
+    # classifies as the `timeout` FetchError
+    timeout_page: int = 30
+    timeout_incr: int = 2000
 
     # ---- engine-side knobs (no reference equivalent; scale tuning) ----
     num_scheduler_shards: int = 8    # host/IP scheduler actor pool size

@@ -63,7 +63,10 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
     60-187): submissions run straight through check() like seeds."""
     cfg = cfg or CrawlConfig()
     max_ticks = max_ticks or cfg.max_ticks
-    index = {u: h for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist())}
+    lats = (pages["latency_ms"].to_pylist()
+            if "latency_ms" in pages.column_names else [0] * pages.num_rows)
+    index = {u: (h, lat or 0) for u, h, lat in
+             zip(pages["url"].to_pylist(), pages["html"].to_pylist(), lats)}
 
     seen = Bitset()
     dup = Bitset() if cfg.page_no_duplicate else None
@@ -111,14 +114,14 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
 
         parsed = []
         for row in robots_rows + page_rows:
-            raw = index.get(row["url"], SYNTH_404)
+            raw, lat = index.get(row["url"], (SYNTH_404, 0))
             if row["is_robots"]:
                 res.fetched.append({**row, "status": "robots", "text": raw})
                 parsed.append((row, "robots", raw, -1, [], []))
             else:
                 st, text, chash, _inter, links, errs = parse_one(
                     row["url"], row["depth"], raw, cfg, domains, forb, (),
-                    row.get("cookie"))
+                    row.get("cookie"), lat)
                 parsed.append((row, st, text, chash, links, errs))
 
         # deterministic order: (tick, ip, robots-first, sub)

@@ -107,12 +107,11 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
     """fetch -> parse -> push link candidates to their scheduler shards
     (acked), return the parse table without the links column.  The
     Ray Data variant of the stage (blocking ack per batch)."""
-    out = parse(fetch_fn(batch))
-    entries_by_shard = _extract_entries(out, n_sched, parse.cfg.punycode)
+    out, entries_by_shard = parse.parse_to_entries(fetch_fn(batch), n_sched)
     if entries_by_shard:
         ray.get([sched[sid].submit_links.remote(entries)
                  for sid, entries in entries_by_shard.items()])
-    return out.drop_columns(["links"])
+    return out
 
 
 @ray.remote
@@ -132,10 +131,9 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
     # the ref travels inside a list so Ray does not auto-dereference it —
     # the per-worker fetch index cache is keyed by the ref
     fetch_fn = make_fetch_fn(pages_ref_holder[0])
-    out = ParseExtract(cfg)(fetch_fn(batch))
-    entries_by_shard = _extract_entries(out, n_sched, cfg.punycode)
+    out, entries_by_shard = ParseExtract(cfg).parse_to_entries(
+        fetch_fn(batch), n_sched)
     refs = {sid: ray.put(entries) for sid, entries in entries_by_shard.items()}
-    out = out.drop_columns(["links"])
     if sink_path is not None:
         import os
 
@@ -210,14 +208,13 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     sub = np.concatenate([np.asarray(d["sub"], dtype=np.int64) for d in per_shard])
     order = np.concatenate([np.asarray(d["order"], dtype=np.int64) for d in per_shard])
     hashes = np.concatenate([np.asarray(d["hash"], dtype=np.int64) for d in per_shard])
-    # encode ip strings as their rank under string ordering so the big
-    # lexsort runs on ints (an object-dtype sort on the driver is serial
-    # poison when all cores are busy with workers)
-    all_ips = [i for d in per_shard for i in d["ip"]]
-    rank_of = {s: i for i, s in enumerate(sorted(set(all_ips)))}
-    ip = np.fromiter((rank_of[i] for i in all_ips), dtype=np.int64,
-                     count=len(all_ips))
-    g = np.lexsort((order, sub, ip, prio))       # global admission order
+    # parent ip arrives as a 16-byte big-endian int pair (order-equal to
+    # the ip string; encoded shard-side in parallel) so the global
+    # admission lexsort runs on pure int64 columns — the driver does no
+    # per-candidate python work
+    ip_hi = np.concatenate([np.asarray(d["ip_hi"], dtype=np.int64) for d in per_shard])
+    ip_lo = np.concatenate([np.asarray(d["ip_lo"], dtype=np.int64) for d in per_shard])
+    g = np.lexsort((order, sub, ip_lo, ip_hi, prio))   # global admission order
     s_hash, s_origin, s_local = hashes[g], origin[g], local[g]
 
     is_new = np.zeros(total, dtype=bool)

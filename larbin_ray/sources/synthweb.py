@@ -187,6 +187,9 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
         # duplicate bodies (content-dedup when pageNoDuplicate)
         (f"http://{sp}/dup/a.html", _response(_page_body(sp, [], "dupe"))),
         (f"http://{sp}/dup/b.html", _response(_page_body(sp, [], "dupe"))),
+        # slow server: latency beyond timeoutPage + size/timeoutIncr
+        # (types.h:46-47) -> FetchError `timeout`
+        (f"http://{sp}/slow.html", _response(_page_body(sp, [], "slow page"))),
         # Set-Cookie chain (useCookies): /cookie/a sets a cookie and links
         # /cookie/b same-host (inherits) + a cross-host link (does not)
         (f"http://{sp}/cookie/a.html",
@@ -233,7 +236,8 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
 
     # ---- assemble the Arrow table ----
     seen_urls = set()
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+    urls, tss, htmls, texts, langs, lat_col = [], [], [], [], [], []
+    slow_latency = {f"http://{sp}/slow.html": 45_000}   # > 30 s budget
     for i, (u, html) in enumerate(rows):
         if u in seen_urls:
             continue
@@ -244,12 +248,14 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
         sep = html.find(b"\r\n\r\n")
         texts.append(html[sep + 4:].decode("latin-1") if sep != -1 else "")
         langs.append(_LANGS[i % len(_LANGS)])
+        lat_col.append(slow_latency.get(u, (i * 37) % 900))
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
         "html": pa.array(htmls, pa.binary()),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
+        "latency_ms": pa.array(lat_col, pa.int64()),
     })
 
 

@@ -62,9 +62,19 @@ def candidate_dicts(res: ExtractResult, priv_exts: tuple[bytes, ...] = ()) -> li
     ]
 
 
+def timed_out(raw: bytes, latency_ms: int, cfg: CrawlConfig) -> bool:
+    """The fetch timeout model (fetch_pipe.cxx:48-72 + :208): a fetch
+    gets ``timeout_page`` seconds plus 1 s per ``timeout_incr`` bytes
+    delivered; simulated server latency beyond that budget means the
+    read never completed -> FetchError ``timeout`` (types.h:114)."""
+    if latency_ms <= cfg.timeout_page * 1000:
+        return False
+    return latency_ms > (cfg.timeout_page + len(raw) // cfg.timeout_incr) * 1000
+
+
 def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
               domains, forb, priv_exts: tuple[bytes, ...] = (),
-              cookie: bytes | None = None
+              cookie: bytes | None = None, latency_ms: int = 0
               ) -> tuple[str, bytes, int, bool, list[dict], list[str]]:
     """-> (status, text, content_hash, interesting, links, stateless_errors).
 
@@ -75,6 +85,8 @@ def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
     decide, discarding the links of dropped duplicates)."""
     if len(raw) == 0:
         return "noConnection", b"", -1, False, [], []
+    if timed_out(raw, latency_ms, cfg):
+        return "timeout", b"", -1, False, [], []
     here = parse_url(url_s.encode("latin-1"), depth, None)
     here.cookie = cookie
     r = parse_response(raw, cfg, cookie)
@@ -107,6 +119,110 @@ class ParseExtract:
         self.priv_exts = (tuple(e.encode() for e in cfg.privileged_exts)
                           if cfg.specific_search else ())
 
+    def parse_to_entries(self, batch: pa.Table, n_sched: int
+                         ) -> tuple[pa.Table, dict[int, list]]:
+        """Crawl-path variant of __call__: returns the parse table
+        WITHOUT the links column plus the per-scheduler-shard admission
+        entries directly — candidates go straight from the extractor to
+        entry tuples, skipping the dict -> Arrow struct -> pylist ->
+        tuple round-trip of the generic path (per-candidate cost is the
+        crawl's hot loop; see crawl.py _extract_entries for the generic
+        consumer the flagship extract pipeline still uses)."""
+        from larbin_ray.kernels.textutil import match_priv_ext
+        from larbin_ray.stages.scheduler import shard_of_host
+
+        cfg = self.cfg
+        puny = cfg.punycode
+        if puny:
+            from larbin_ray.kernels.urlnorm import puny_host
+        urls = batch["url"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        robots_flags = batch["is_robots"].to_pylist()
+        cookies = batch["cookie"].to_pylist() if "cookie" in batch.column_names \
+            else [None] * len(urls)
+        ips = batch["ip"].to_pylist()
+        subs = batch["sub"].to_pylist()
+        raws = batch["html"].to_pylist()
+        lats = batch["latency_ms"].to_pylist() if "latency_ms" in batch.column_names \
+            else [0] * len(urls)
+        statuses, texts, chashes, interests, err_col = [], [], [], [], []
+        entries_by_shard: dict[int, list] = {}
+        route_cache: dict[bytes, int] = {}
+        for i, (url_s, depth, is_rob, raw, ck) in enumerate(
+                zip(urls, depths, robots_flags, raws, cookies)):
+            raw = raw or b""
+            if is_rob:
+                statuses.append("robots")
+                texts.append(raw)
+                chashes.append(-1)
+                interests.append(False)
+                err_col.append([])
+                continue
+            st, text, ch, inter, res = self._parse_res(url_s, depth, raw, ck,
+                                                       lats[i] or 0)
+            statuses.append(st)
+            texts.append(text)
+            chashes.append(ch)
+            interests.append(inter)
+            err_col.append(res.errors if res is not None else [])
+            if res is None or not res.candidates:
+                continue
+            p_ip, p_sub = ips[i], subs[i]
+            for c in res.candidates:
+                host = c.url.host
+                sid = route_cache.get(host)
+                if sid is None:
+                    key = puny_host(host) if puny else host
+                    sid = shard_of_host(key.decode("latin-1"), n_sched)
+                    route_cache[host] = sid
+                prio = 0 if (self.priv_exts
+                             and match_priv_ext(c.url.file, self.priv_exts)) else 1
+                entries_by_shard.setdefault(sid, []).append(
+                    (prio, p_ip, p_sub, c.order, host, c.url.port, c.url.file,
+                     c.url.depth, c.url.hash_code(), p_ip, p_sub, c.url.cookie))
+        cols = {
+            "url": batch["url"],
+            "depth": batch["depth"],
+            "is_robots": batch["is_robots"],
+            "status": pa.array(statuses, pa.string()),
+            "text": pa.array(texts, pa.binary()),
+            "content_hash": pa.array(chashes, pa.int64()),
+            "interesting": pa.array(interests, pa.bool_()),
+            "stateless_errors": pa.array(err_col, pa.list_(pa.string())),
+        }
+        for name in batch.column_names:
+            if name not in ("url", "depth", "is_robots", "html",
+                            "latency_ms") and name not in cols:
+                cols[name] = batch[name]
+        return pa.table(cols), entries_by_shard
+
+    def _parse_res(self, url_s: str, depth: int, raw: bytes,
+                   cookie: bytes | None, latency_ms: int = 0):
+        """parse_one, but returning the raw ExtractResult (no candidate
+        dicts).  -> (status, text, chash, interesting, res|None)."""
+        cfg = self.cfg
+        if len(raw) == 0:
+            return "noConnection", b"", -1, False, None
+        if timed_out(raw, latency_ms, cfg):
+            return "timeout", b"", -1, False, None
+        here = parse_url(url_s.encode("latin-1"), depth, None)
+        here.cookie = cookie
+        r = parse_response(raw, cfg, cookie)
+        if r.status == "err30X":
+            res = None
+            if r.location is not None:
+                res = ExtractResult([], [])
+                base = here.give_base()
+                nouv = parse_url(r.location, here.depth, base)
+                admit_link(nouv, here, True, cfg, 0, res, self.domains, self.forb)
+            return "err30X", b"", -1, False, res
+        if r.status != "html":
+            return r.status, b"", -1, False, None
+        here.cookie = r.cookie
+        chash = content_dup_code(r.body) if cfg.page_no_duplicate else -1
+        res = extract_links(here, r.body, cfg, self.domains, self.forb)
+        return "success", r.body, chash, r.interesting, res
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         urls = batch["url"].to_pylist()
@@ -117,9 +233,11 @@ class ParseExtract:
         cookies = batch["cookie"].to_pylist() if "cookie" in batch.column_names \
             else [None] * len(urls)
         raws = batch["html"].to_pylist()
+        lats = batch["latency_ms"].to_pylist() if "latency_ms" in batch.column_names \
+            else [0] * len(urls)
         statuses, texts, chashes, interests, links_col, err_col = [], [], [], [], [], []
-        for url_s, depth, is_rob, raw, ck in zip(urls, depths, robots_flags,
-                                                 raws, cookies):
+        for url_s, depth, is_rob, raw, ck, lat in zip(urls, depths, robots_flags,
+                                                      raws, cookies, lats):
             raw = raw or b""
             if is_rob:
                 # robots bodies are parsed by the scheduler shard that owns
@@ -133,7 +251,7 @@ class ParseExtract:
                 continue
             st, text, ch, inter, links, errs = parse_one(
                 url_s, depth, raw, cfg, self.domains, self.forb,
-                self.priv_exts, ck)
+                self.priv_exts, ck, lat or 0)
             statuses.append(st)
             texts.append(text)
             chashes.append(ch)

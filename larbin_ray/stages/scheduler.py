@@ -121,10 +121,20 @@ class SchedulerShardCore:
         hcs = {id(r): e[8] for r, e in zip(recs, buf)}
         self._survivors = self.core.pre_admit(recs)
         # numpy for the numeric key columns (fast pickling + fast driver
-        # merge); ip stays a list of strings
+        # merge).  The parent ip participates in the global admission
+        # sort; encoding it as a 16-byte big-endian int pair PRESERVES
+        # the string order (dotted quads are <= 15 ASCII bytes), so the
+        # driver lexsort runs on pure int64 columns and the per-survivor
+        # encoding cost lands here — parallel across shards — instead
+        # of serially on the driver.
+        ip_bytes = [r.akey[1].encode("latin-1")[:16].ljust(16, b"\0")
+                    for r in self._survivors]
         return {
             "prio": np.asarray([r.akey[0] for r in self._survivors], dtype=np.int64),
-            "ip": [r.akey[1] for r in self._survivors],
+            "ip_hi": np.asarray([int.from_bytes(b[:8], "big") for b in ip_bytes],
+                                dtype=np.int64),
+            "ip_lo": np.asarray([int.from_bytes(b[8:], "big") for b in ip_bytes],
+                                dtype=np.int64),
             "sub": np.asarray([r.akey[2] for r in self._survivors], dtype=np.int64),
             "order": np.asarray([r.akey[3] for r in self._survivors], dtype=np.int64),
             "hash": np.asarray([hcs[id(r)] for r in self._survivors], dtype=np.int64),

@@ -74,7 +74,7 @@ def test_oracle_error_taxonomy(oracle_result):
     a = oracle_result.answers
     for k in ("success", "urlDup", "err30X", "err40X", "noDNS", "fastNoDns",
               "noConnection", "fastNoConn", "forbiddenRobots", "fastRobots",
-              "tooDeep", "badType", "tooBig", "earlyStop"):
+              "tooDeep", "badType", "tooBig", "earlyStop", "timeout"):
         assert a.get(k, 0) >= 1, (k, dict(a))
 
 

@@ -22,7 +22,10 @@ def test_generator_deterministic(web):
 
 
 def test_generator_schema(web):
-    assert [f.name for f in web.schema] == ["url", "warc_ts", "html", "text", "lang"]
+    # input_hint columns + latency_ms (simulated server latency for the
+    # timeout FetchError class)
+    assert [f.name for f in web.schema] == ["url", "warc_ts", "html", "text",
+                                            "lang", "latency_ms"]
     assert web.schema.field("html").type == pa.binary()
     assert str(web.schema.field("warc_ts").type) == "timestamp[us]"
 
