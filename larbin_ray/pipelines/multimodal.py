@@ -39,34 +39,56 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table (payloads are seeded noise —
-    stand-ins for real encoded bytes)."""
+    """Deterministic synthetic media table.  Every second image row is
+    a REAL PNG (encoded by the stdlib codec in kernels/png.py) so the
+    decode stage runs on genuine encoded bytes; the rest are seeded
+    noise stand-ins that exercise the fake-backend path."""
+    from larbin_ray.kernels.png import png_encode
+
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.randint(2_000, 40_000))
-        payload = rng.bytes(size)
+        w = int(rng.choice([320, 640, 1024])) if kind != "audio" else 0
+        h = int(rng.choice([240, 480, 768])) if kind != "audio" else 0
+        codec = {"image": "fake-jpeg", "audio": "fake-pcm",
+                 "video": "fake-h264"}[kind]
+        if kind == "image" and (i // 3) % 2 == 0:
+            # real PNG: small deterministic gradient + seeded noise
+            pw, ph = 24 + (i % 5) * 4, 16 + (i % 7) * 4
+            yy, xx = np.mgrid[0:ph, 0:pw]
+            base = ((xx * 5 + yy * 3 + i) % 256).astype(np.uint8)
+            arr = np.stack([base,
+                            ((base.astype(int) + 85) % 256).astype(np.uint8),
+                            rng.randint(0, 256, (ph, pw), dtype=np.uint8)],
+                           axis=2)
+            payload, codec, w, h = png_encode(arr), "png", pw, ph
+        else:
+            payload = rng.bytes(int(rng.randint(2_000, 40_000)))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["width"].append(int(rng.choice([320, 640, 1024])) if kind != "audio" else 0)
-        rows["height"].append(int(rng.choice([240, 480, 768])) if kind != "audio" else 0)
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["sample_rate"].append(16_000 if kind == "audio" else 0)
         rows["duration_ms"].append(int(rng.randint(500, 30_000)) if kind != "image" else 0)
-        rows["codec"].append({"image": "fake-jpeg", "audio": "fake-pcm",
-                              "video": "fake-h264"}[kind])
+        rows["codec"].append(codec)
     return pa.table({k.name: pa.array(rows[k.name], k.type) for k in MEDIA_SCHEMA})
 
 
 class FakeCodecBackend:
-    """DETERMINISTIC FAKE decode backend (STUB — the container has no
-    PIL/soundfile/ffmpeg).  Arrays derive from a crc32 of the payload,
-    so outputs are identical on every worker and every run.  A real
-    deployment swaps in PilBackend / SoundfileBackend below."""
+    """Decode backend.  PNG payloads decode FOR REAL via the stdlib
+    codec (kernels/png.py); other codecs fall back to a DETERMINISTIC
+    FAKE (STUB — the container has no PIL/soundfile/ffmpeg): arrays
+    derive from a crc32 of the payload, identical on every worker and
+    every run.  A real deployment swaps in PilBackend / SoundfileBackend
+    below."""
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        from larbin_ray.kernels.png import PNG_SIG, png_decode
+        if payload[:8] == PNG_SIG:
+            return png_decode(payload)       # the real codec path
         rng = np.random.RandomState(zlib.crc32(payload) & 0x7FFFFFFF)
         w, h = max(1, width) % 64 + 8, max(1, height) % 64 + 8   # bounded fake
         return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -322,3 +322,27 @@ def test_politeness_mode_with_host_cap(ray_session):
     o = oracle_crawl(web, seeds, cfg)
     e = ray_crawl(web, seeds, cfg)
     assert_same_crawl(o, e)
+
+
+def test_long_crawl_throughput_mode(ray_session):
+    """100+-tick politeness crawl in build_rows=False mode: the driver
+    holds no per-tick metadata (res.fetched stays empty, n_fetched is
+    aggregated incrementally) and the count matches build_rows=True."""
+    import resource
+
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    web = gen_web(500, 4, seed=42)
+    seeds = default_seeds(4)
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2)
+    full = ray_crawl(web, seeds, cfg)
+    assert max(r["tick"] for r in full.fetched) >= 100   # politeness = long
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    slim = ray_crawl(web, seeds, cfg, build_rows=False)
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert slim.fetched == []
+    assert slim.fetched_count() == len(full.fetched)
+    assert dict(slim.answers) == dict(full.answers)
+    # driver peak RSS must not grow materially over a no-rows crawl
+    assert rss_after - rss_before < 200_000   # < ~200 MB in KiB units
