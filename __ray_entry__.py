@@ -117,7 +117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": T.lang_id,
         # similarity search
         "knn_bruteforce": S.knn_bruteforce,
-        "knn_ivf": S.knn_ivf,
+        # probe-all configuration: exercises the IVF assign/prune/score
+        # machinery while being exactly equal to the brute-force ranking
+        # (tests/test_textops.py proves ivf(nprobe=all) == bruteforce;
+        # the approximate nprobe<cells path is covered by the recall
+        # test) — so the exact-knn SQL oracle applies
+        "knn_ivf": lambda sf_dir: S.knn_ivf(sf_dir, n_cells=16, nprobe=16),
         "embedding_dup_pairs": S.embedding_dup_pairs,
         "embedding_dup_pairs_lsh":
             lambda sf_dir: S.embedding_dup_pairs_lsh(sf_dir, threshold=0.45),
@@ -254,6 +259,24 @@ def oracle_sql() -> dict[str, str]:
                    'keeper+quality' AS keep_reason
             FROM q JOIN keepers ON q.doc_id = keepers.keeper
             WHERE q.n_tokens BETWEEN 20 AND 1000
+        """,
+        "knn_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.qe,
+                             CAST(e.embedding AS DOUBLE[])), 6) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 10
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -79,3 +79,25 @@ def test_checkpoint_metrics_lineage(ray_session, web, tmp_path):
     assert glob.glob(f"{ck}/frontier/shard=*.parquet")
     assert glob.glob(f"{ck}/hosts/shard=*.parquet")
     assert glob.glob(f"{ck}/seen/shard=*.npy")
+
+
+def test_stats_report(ray_session, tmp_path):
+    """K8 stats surface: the printStats/webserver-style report renders
+    from a checkpoint's metrics.parquet + manifest."""
+    from larbin_ray.config import CrawlConfig
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from larbin_ray.pipelines.stats import crawl_stats_report
+    from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+    ck = str(tmp_path / "ck_stats")
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2, checkpoint_every=5)
+    res = ray_crawl(gen_web(60, 6, seed=42), default_seeds(6), cfg,
+                    checkpoint_dir=ck)
+    report = crawl_stats_report(ck)
+    assert "crawl stats" in report
+    assert f"success (cum):   {res.answers['success']}" in report
+    assert "answers histogram" in report
+    assert "resumable from tick" in report
+    # bare metrics.parquet also works
+    assert "crawl stats" in crawl_stats_report(f"{ck}/metrics.parquet")
