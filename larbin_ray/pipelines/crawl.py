@@ -114,14 +114,18 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
     return out
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
                   n_sched: int, sink_path: str | None,
                   keep_text: bool) -> tuple[pa.Table, dict]:
-    """Task variant: never blocks on the shard actors — per-shard entry
-    lists go to the object store and the refs ride back with the result
-    (a producer blocking on a shard RPC at high CPU counts triggers
-    Ray's blocked-worker spawning and a worker-churn spiral).
+    """Task variant: never blocks on the shard actors — the per-shard
+    entries dict is the task's SECOND return value, so it lands in the
+    object store through the task-return path (ray.put costs ~16 ms per
+    call on this host — 8 puts per task were ~85 cpu-s per crawl) and
+    its ref rides to the shards without the driver deserializing a
+    single candidate.  (A producer blocking on a shard RPC at high CPU
+    counts triggers Ray's blocked-worker spawning and a worker-churn
+    spiral, hence no direct actor submission here.)
 
     When ``sink_path`` is set the task writes its own slice of the page
     table (with text) as Parquet — a distributed, resumable sink with no
@@ -133,7 +137,6 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
     fetch_fn = make_fetch_fn(pages_ref_holder[0])
     out, entries_by_shard = ParseExtract(cfg).parse_to_entries(
         fetch_fn(batch), n_sched)
-    refs = {sid: ray.put(entries) for sid, entries in entries_by_shard.items()}
     if sink_path is not None:
         import os
 
@@ -145,7 +148,7 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
         mask = out["is_robots"]
         text = pc.if_else(mask, out["text"], pa.scalar(b"", pa.binary()))
         out = out.set_column(out.schema.get_field_index("text"), "text", text)
-    return out, refs
+    return out, entries_by_shard
 
 
 def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
@@ -342,15 +345,13 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]
             _t0 = _time.time()
-            outs = ray.get(futs)
+            # each task returns (meta table, entries dict) as TWO refs:
+            # the driver deserializes only the meta tables; the entries
+            # refs go to every shard, which extracts its own slice
+            ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
+            ent_refs = [f[1] for f in futs]
+            refs_by_shard = {sid: ent_refs for sid in range(n_sched)}
             _clk("taskwave", _t0)
-            _t0 = _time.time()
-            ctrl = pa.concat_tables([o[0] for o in outs])
-            refs_by_shard: dict[int, list] = {}
-            for _t, refs in outs:
-                for sid, ref in refs.items():
-                    refs_by_shard.setdefault(sid, []).append(ref)
-            _clk("submit_refs", _t0)
 
         _t0 = _time.time()
         ctrl = ctrl.sort_by([("tick", "ascending"), ("ip", "ascending"),

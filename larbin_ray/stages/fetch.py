@@ -29,11 +29,17 @@ _INDEX_CACHE: dict[str, tuple] = {}
 
 
 def put_pages(pages: pa.Table) -> "ray.ObjectRef":
-    """Broadcast the pages table once; workers read it zero-copy."""
+    """Broadcast the pages table once; workers read it zero-copy.
+
+    Columns are combined to single chunks HERE (one driver-side copy):
+    ``ChunkedArray.take`` is pathologically slow (measured 250 ms for a
+    512-row gather over a 4-chunk 400k-row binary column vs 0.1 ms on
+    the combined Array), and combining worker-side would copy the
+    GB-scale html column into every worker heap."""
     cols = ["url", "html"]
     if "latency_ms" in pages.column_names:
         cols.append("latency_ms")
-    return ray.put(pages.select(cols))
+    return ray.put(pages.select(cols).combine_chunks())
 
 
 def _index_for(pages_ref) -> tuple:
@@ -50,7 +56,10 @@ def _index_for(pages_ref) -> tuple:
         idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
         lat = (table["latency_ms"].combine_chunks().to_numpy()
                if "latency_ms" in table.column_names else None)
-        hit = (idx, table["html"], lat)
+        html = table["html"]
+        if html.num_chunks == 1:
+            html = html.chunk(0)     # zero-copy Array view: fast take()
+        hit = (idx, html, lat)
         _INDEX_CACHE.clear()   # one pages table per crawl; don't leak old ones
         _INDEX_CACHE[key] = hit
     return hit

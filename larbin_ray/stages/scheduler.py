@@ -87,11 +87,16 @@ class SchedulerShardCore:
 
     def submit_links_refs(self, refs: list) -> None:
         """Pull entry batches from the object store (the fetch+parse
-        tasks ray.put their per-shard entries and return the refs — no
-        producer ever blocks on this actor)."""
+        tasks return their entries dict as a second task output — no
+        producer ever blocks on this actor).  Each payload is either a
+        {shard_id: entries} dict (task path: every shard receives the
+        same refs and extracts its slice) or a plain entries list."""
         import ray as _ray
-        for entries in _ray.get(refs):
-            self._buffer.extend(entries)
+        for payload in _ray.get(refs):
+            if isinstance(payload, dict):
+                self._buffer.extend(payload.get(self.shard_id, ()))
+            else:
+                self._buffer.extend(payload)
 
     def begin_tick(self, tick: int) -> tuple[list[dict], dict, int]:
         robots_rows = self.core.resolve_new_hosts(tick)
