@@ -114,18 +114,20 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
     return out
 
 
-@ray.remote(num_returns=2)
+@ray.remote
 def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
                   n_sched: int, sink_path: str | None,
-                  keep_text: bool) -> tuple[pa.Table, dict]:
+                  keep_text: bool):
     """Task variant: never blocks on the shard actors — the per-shard
-    entries dict is the task's SECOND return value, so it lands in the
-    object store through the task-return path (ray.put costs ~16 ms per
-    call on this host — 8 puts per task were ~85 cpu-s per crawl) and
-    its ref rides to the shards without the driver deserializing a
-    single candidate.  (A producer blocking on a shard RPC at high CPU
-    counts triggers Ray's blocked-worker spawning and a worker-churn
-    spiral, hence no direct actor submission here.)
+    entry lists are EXTRA return values (num_returns = 1 + n_sched, set
+    via .options at the call site), so they land in the object store
+    through the task-return path (ray.put costs ~16 ms per call on this
+    host — 8 puts per task were ~85 cpu-s per crawl; small task returns
+    are inlined) and each shard receives refs to exactly its own slice.
+    The driver never deserializes a candidate.  (A producer blocking on
+    a shard RPC at high CPU counts triggers Ray's blocked-worker
+    spawning and a worker-churn spiral, hence no direct actor
+    submission here.)
 
     When ``sink_path`` is set the task writes its own slice of the page
     table (with text) as Parquet — a distributed, resumable sink with no
@@ -148,7 +150,8 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
         mask = out["is_robots"]
         text = pc.if_else(mask, out["text"], pa.scalar(b"", pa.binary()))
         out = out.set_column(out.schema.get_field_index("text"), "text", text)
-    return out, entries_by_shard
+    return tuple([out] + [entries_by_shard.get(sid, [])
+                          for sid in range(n_sched)])
 
 
 def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
@@ -337,20 +340,21 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 batch_format="pyarrow", batch_size=bs)
             ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:
+            task = _process_task.options(num_returns=1 + n_sched)
             futs = [
-                _process_task.remote(
+                task.remote(
                     tbl.slice(i, bs), [pages_ref], cfg, n_sched,
                     f"{out_dir}/pages/tick={tick}/part-{i // bs}.parquet"
                     if task_sink else None,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]
             _t0 = _time.time()
-            # each task returns (meta table, entries dict) as TWO refs:
-            # the driver deserializes only the meta tables; the entries
-            # refs go to every shard, which extracts its own slice
+            # each task returns (meta table, entries-shard-0, ..., -N):
+            # the driver deserializes only the meta tables; each shard
+            # receives refs to exactly its own entry slices
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
-            ent_refs = [f[1] for f in futs]
-            refs_by_shard = {sid: ent_refs for sid in range(n_sched)}
+            refs_by_shard = {sid: [f[1 + sid] for f in futs]
+                             for sid in range(n_sched)}
             _clk("taskwave", _t0)
 
         _t0 = _time.time()

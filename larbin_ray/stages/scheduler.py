@@ -58,11 +58,11 @@ class SchedulerShardCore:
         """Barrier: sort by akey, run initOK fast-fails; return survivors
         as (akey, host, port, file, depth, hash)."""
         self._buffer.sort(key=lambda t: t[0])
-        recs = [UrlRec(h, p, f, d, akey=k) for k, h, p, f, d, _hc in self._buffer]
-        hashes = {id(r): hc for r, (_k, _h, _p, _f, _d, hc) in zip(recs, self._buffer)}
+        recs = [UrlRec(h, p, f, d, akey=k, hc=hc)
+                for k, h, p, f, d, hc in self._buffer]
         survivors = self.core.pre_admit(recs)
         self._buffer = []
-        return [(r.akey, r.host, r.port, r.file, r.depth, hashes[id(r)])
+        return [(r.akey, r.host, r.port, r.file, r.depth, r.hc)
                 for r in survivors]
 
     def enqueue(self, rows: list[tuple]) -> None:
@@ -116,14 +116,14 @@ class SchedulerShardCore:
             self.robots_results(list(robots_items))
         if entry_refs:
             self.submit_links_refs(list(entry_refs))
+        from operator import itemgetter
         dup = set(dup_parents)
         buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
         self._buffer = []
-        buf.sort(key=lambda e: (e[0], e[1], e[2], e[3]))
+        buf.sort(key=itemgetter(0, 1, 2, 3))
         recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
-                       cookie=e[11] if len(e) > 11 else None)
+                       cookie=e[11] if len(e) > 11 else None, hc=e[8])
                 for e in buf]
-        hcs = {id(r): e[8] for r, e in zip(recs, buf)}
         self._survivors = self.core.pre_admit(recs)
         # numpy for the numeric key columns (fast pickling + fast driver
         # merge).  The parent ip participates in the global admission
@@ -142,7 +142,7 @@ class SchedulerShardCore:
                                 dtype=np.int64),
             "sub": np.asarray([r.akey[2] for r in self._survivors], dtype=np.int64),
             "order": np.asarray([r.akey[3] for r in self._survivors], dtype=np.int64),
-            "hash": np.asarray([hcs[id(r)] for r in self._survivors], dtype=np.int64),
+            "hash": np.asarray([r.hc for r in self._survivors], dtype=np.int64),
         }
 
     def enqueue_verdicts(self, verdicts: list[bool]) -> int:

@@ -65,6 +65,7 @@ class UrlRec:
     depth: int
     akey: tuple = ()
     cookie: bytes | None = None
+    hc: int = 0        # url hashCode, carried through admission
 
     def url_str(self) -> str:
         return Url(self.host, self.port, self.file, self.depth).give_url().decode("latin-1")
