@@ -351,7 +351,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             _t0 = _time.time()
             # each task returns (meta table, entries-shard-0, ..., -N):
             # the driver deserializes only the meta tables; each shard
-            # receives refs to exactly its own entry slices
+            # receives refs to exactly its own entry slices at the
+            # admission barrier.  (Streaming the refs to the shards
+            # DURING the wave was tried and measured 20-25% slower:
+            # eight actors blocking in ray.get on unfinished task
+            # outputs pin workers mid-wave and trigger the raylet's
+            # blocked-worker handling.)
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
             refs_by_shard = {sid: [f[1 + sid] for f in futs]
                              for sid in range(n_sched)}
