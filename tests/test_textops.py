@@ -204,3 +204,32 @@ def test_embedding_lsh_recall(ray_session):
     lsh = set(map(tuple, embedding_dup_pairs_lsh(SF, threshold=0.45)
                   [["id_a", "id_b"]].values))
     assert lsh == exact
+
+
+def test_hash_reduce_equals_pandas_groupby(ray_session):
+    """Property: the bucketed distributed reduce equals a plain pandas
+    groupby for any key distribution (including heavy skew) and any
+    bucket count — the exactness invariant every dedup pipeline rests
+    on (rows of one key never split across buckets)."""
+    import ray.data as rd
+
+    from larbin_ray.pipelines.reduce import hash_reduce
+
+    rng = np.random.RandomState(11)
+    for nkeys, nbuckets in ((7, 3), (1000, 8), (5000, 64)):
+        df = pd.DataFrame({
+            "k": rng.zipf(1.5, 4000) % nkeys,        # skewed keys
+            "k2": rng.randint(0, 3, 4000),
+            "v": rng.randint(0, 100, 4000),
+        })
+        expect = df.groupby(["k", "k2"], as_index=False).agg(
+            s=("v", "sum"), mn=("v", "min"), n=("v", "size"))
+        got = hash_reduce(
+            rd.from_pandas(df).repartition(5),
+            ["k", "k2"],
+            lambda g: g.groupby(["k", "k2"], as_index=False).agg(
+                s=("v", "sum"), mn=("v", "min"), n=("v", "size")),
+            nbuckets).to_pandas()
+        got = got.sort_values(["k", "k2"]).reset_index(drop=True)
+        expect = expect.sort_values(["k", "k2"]).reset_index(drop=True)
+        assert got.astype("int64").equals(expect.astype("int64")), (nkeys, nbuckets)
