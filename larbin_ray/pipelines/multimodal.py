@@ -40,10 +40,12 @@ MEDIA_SCHEMA = pa.schema([
 
 def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media table.  Every second image row is
-    a REAL PNG (encoded by the stdlib codec in kernels/png.py) so the
-    decode stage runs on genuine encoded bytes; the rest are seeded
+    a REAL PNG (encoded by the stdlib codec in kernels/png.py) and
+    every second audio row a REAL 16-bit PCM WAV (kernels/wav.py) so
+    the decode stages run on genuine encoded bytes; the rest are seeded
     noise stand-ins that exercise the fake-backend path."""
     from larbin_ray.kernels.png import png_encode
+    from larbin_ray.kernels.wav import wav_encode
 
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
@@ -64,6 +66,14 @@ def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
                             rng.randint(0, 256, (ph, pw), dtype=np.uint8)],
                            axis=2)
             payload, codec, w, h = png_encode(arr), "png", pw, ph
+        elif kind == "audio" and (i // 3) % 2 == 0:
+            # real WAV: deterministic tone + seeded noise, short clip
+            sr = 16_000
+            dur = 0.05 + (i % 7) * 0.01
+            t = np.arange(int(sr * dur)) / sr
+            wave = (0.4 * np.sin(2 * np.pi * (200 + i * 13) * t)
+                    + 0.05 * rng.standard_normal(len(t)))
+            payload, codec = wav_encode(wave, sr), "pcm_s16le"
         else:
             payload = rng.bytes(int(rng.randint(2_000, 40_000)))
         rows["media_id"].append(i)
@@ -95,6 +105,10 @@ class FakeCodecBackend:
 
     def decode_audio(self, payload: bytes, sample_rate: int,
                      duration_ms: int) -> np.ndarray:
+        from larbin_ray.kernels.wav import WAV_SIG, wav_decode
+        if payload[:4] == WAV_SIG:
+            wave, _sr = wav_decode(payload)      # the real codec path
+            return wave if wave.ndim == 1 else wave.mean(axis=1)
         rng = np.random.RandomState(zlib.crc32(payload) & 0x7FFFFFFF)
         n = max(8, min(16_000, sample_rate * duration_ms // 1000 // 100))
         return (rng.rand(n) * 2 - 1).astype(np.float32)
