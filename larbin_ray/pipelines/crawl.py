@@ -76,32 +76,6 @@ def _route_host(host_b: bytes, n_sched: int, punycode: bool) -> int:
     return shard_of_host(key.decode("latin-1"), n_sched)
 
 
-def _extract_entries(out: pa.Table, n_sched: int,
-                     punycode: bool = False) -> dict[int, list]:
-    """Flatten the links column of a parse table into per-scheduler-shard
-    admission entries (prio, ip, sub, order, host, port, file, depth,
-    hash, parent_ip, parent_sub)."""
-    links = out["links"].combine_chunks()
-    flat = pc.list_flatten(links)
-    entries_by_shard: dict[int, list] = {}
-    if len(flat):
-        parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
-        ips = out["ip"].to_pylist()
-        subs = out["sub"].to_pylist()
-        hosts = pc.struct_field(flat, "host").to_pylist()
-        cols = {n: pc.struct_field(flat, n).to_pylist()
-                for n in ("prio", "order", "port", "file", "depth", "hash",
-                          "cookie")}
-        for i, h in enumerate(hosts):
-            p = parent[i]
-            sid = _route_host(h, n_sched, punycode)
-            entries_by_shard.setdefault(sid, []).append(
-                (cols["prio"][i], ips[p], subs[p], cols["order"][i],
-                 h, cols["port"][i], cols["file"][i], cols["depth"][i],
-                 cols["hash"][i], ips[p], subs[p], cols["cookie"][i]))
-    return entries_by_shard
-
-
 def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
                    sched, n_sched: int) -> pa.Table:
     """fetch -> parse -> push link candidates to their scheduler shards

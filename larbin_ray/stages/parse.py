@@ -125,9 +125,9 @@ class ParseExtract:
         WITHOUT the links column plus the per-scheduler-shard admission
         entries directly — candidates go straight from the extractor to
         entry tuples, skipping the dict -> Arrow struct -> pylist ->
-        tuple round-trip of the generic path (per-candidate cost is the
-        crawl's hot loop; see crawl.py _extract_entries for the generic
-        consumer the flagship extract pipeline still uses)."""
+        tuple round-trip of the generic ``__call__`` path (per-candidate
+        cost is the crawl's hot loop; the flagship extract pipeline keeps
+        the links column and never builds entries)."""
         from larbin_ray.kernels.textutil import match_priv_ext
         from larbin_ray.stages.scheduler import shard_of_host
 

@@ -281,8 +281,12 @@ class SchedulerShardCore:
                 if h is not None:
                     h.nburls += 1
             elif kind == "pending":
-                core.hosts[(hname, hport)].pending.append(rec)
-                core.hosts[(hname, hport)].nburls += 1
+                # hosts dict keys are site_key'd (punycode form when
+                # cfg.punycode); frontier rows carry the raw host, so the
+                # lookup must key the same way as the enqueue side
+                h = core.hosts[(core.site_key(hname), hport)]
+                h.pending.append(rec)
+                h.nburls += 1
             else:           # overflow (maxUrlsBySite wait fifo)
                 core.overflow.append(rec)
 

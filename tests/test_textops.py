@@ -170,11 +170,10 @@ def test_minhash_recall_vs_exact_jaccard(ray_session):
     """LSH candidates + exact verification: output pairs must be a
     subset of the exact-Jaccard pairs at the threshold, and recall on
     high-similarity pairs (j >= 0.8) must be high."""
-    from larbin_ray.pipelines.textops import MinHasher, minhash_dedup
+    from larbin_ray.pipelines.textops import _shingle_hashes64, minhash_dedup
 
     docs = pd.read_parquet(f"{SF}/documents.parquet")
-    mh = MinHasher()
-    sets = {d: set(mh.shingles(t).tolist())
+    sets = {d: set(_shingle_hashes64(t).tolist())
             for d, t in zip(docs["doc_id"], docs["text"])}
     ids = sorted(sets)
     exact, high = set(), set()
