@@ -77,14 +77,30 @@ def _route_host(host_b: bytes, n_sched: int, punycode: bool) -> int:
 
 
 def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
-                   sched, n_sched: int) -> pa.Table:
+                   sched, n_sched: int, sink_dir: str | None = None,
+                   keep_text: bool = True) -> pa.Table:
     """fetch -> parse -> push link candidates to their scheduler shards
     (acked), return the parse table without the links column.  The
-    Ray Data variant of the stage (blocking ack per batch)."""
+    Ray Data variant of the stage (blocking ack per batch).  When
+    ``sink_dir`` is set the batch writes its own Parquet slice (the
+    distributed sink, like the task path); the part name derives from
+    the batch's first url so reruns overwrite rather than duplicate."""
     out, entries_by_shard = parse.parse_to_entries(fetch_fn(batch), n_sched)
     if entries_by_shard:
         ray.get([sched[sid].submit_links.remote(entries)
                  for sid, entries in entries_by_shard.items()])
+    if sink_dir is not None and out.num_rows:
+        import os
+        import zlib
+
+        import pyarrow.parquet as pq
+        os.makedirs(sink_dir, exist_ok=True)
+        tag = zlib.crc32(out["url"][0].as_py().encode("latin-1"))
+        pq.write_table(out, f"{sink_dir}/part-{tag:08x}.parquet")
+    if not keep_text:
+        mask = out["is_robots"]
+        text = pc.if_else(mask, out["text"], pa.scalar(b"", pa.binary()))
+        out = out.set_column(out.schema.get_field_index("text"), "text", text)
     return out
 
 
@@ -300,17 +316,21 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         tbl = pa.table({n: pa.array(v, DISPATCH_SCHEMA.field(n).type)
                         for n, v in cols.items()})
         bs = cfg.parse_batch_size
-        # the task path writes the sink itself unless dup-resolution must
-        # rewrite statuses first (driver writes in that case)
-        task_sink = out_dir is not None and not cfg.page_no_duplicate
-        ship_text = keep_text or (out_dir is not None and cfg.page_no_duplicate)
+        # the sink is ALWAYS task/batch-side (distributed, resumable);
+        # under page_no_duplicate the statuses resolved to `duplicate` at
+        # the dup barrier are recorded in a tiny per-tick sidecar that
+        # read_crawl_pages applies — page text never ships to the driver
+        task_sink = out_dir is not None
+        ship_text = keep_text
         used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
         refs_by_shard = {}
+        sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
             ds = from_table(tbl, blocks).map_batches(
-                lambda b: _process_batch(b, fetch_fn, parse, sched, n_sched),
+                lambda b: _process_batch(b, fetch_fn, parse, sched, n_sched,
+                                         sink_dir, ship_text),
                 batch_format="pyarrow", batch_size=bs)
             ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:
@@ -318,8 +338,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             futs = [
                 task.remote(
                     tbl.slice(i, bs), [pages_ref], cfg, n_sched,
-                    f"{out_dir}/pages/tick={tick}/part-{i // bs}.parquet"
-                    if task_sink else None,
+                    f"{sink_dir}/part-{i // bs}.parquet" if task_sink else None,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]
             _t0 = _time.time()
@@ -364,6 +383,20 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 ips_np = np.asarray(ctrl["ip"].to_pylist(), dtype=object)
                 subs_np = ctrl["sub"].to_numpy(zero_copy_only=False)
                 dup_parents = [(ips_np[i], int(subs_np[i])) for i in dup_rows]
+                if out_dir is not None:
+                    # status-patch sidecar: the distributed task-side sink
+                    # wrote this tick's slices with pre-dup statuses (the
+                    # dup verdict needs the global fetch order and can't
+                    # exist task-side); the patch holds ONE url per
+                    # duplicate row — O(dups this tick), never page text
+                    import os
+
+                    import pyarrow.parquet as pq
+                    os.makedirs(f"{out_dir}/dup_patches", exist_ok=True)
+                    pq.write_table(
+                        pa.table({"url": pc.take(
+                            ctrl["url"], pa.array(dup_rows, pa.int64()))}),
+                        f"{out_dir}/dup_patches/tick={tick}.parquet")
 
         _t0 = _time.time()
         # answers: fetch statuses + stateless extraction errors
@@ -388,15 +421,6 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                                pa.array(status.tolist(), pa.string()))
         meta = meta.drop_columns(["stateless_errors", "interesting"])
         if out_dir is not None:
-            if used_ray_data or cfg.page_no_duplicate:
-                # statuses were rewritten (dup) or the Ray Data path ran
-                # without task-side sinks: write from the driver
-                import os
-
-                import pyarrow.parquet as pq
-                d = f"{out_dir}/pages/tick={tick}"
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(meta, f"{d}/part-0.parquet")
             meta = meta.drop_columns(["text"])
         if build_rows:
             meta_tables.append(meta)
@@ -470,6 +494,34 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         pq.write_table(pa.Table.from_pylist(metrics_rows),
                        f"{checkpoint_dir}/metrics.parquet")
     return res
+
+
+def read_crawl_pages(out_dir: str) -> pa.Table:
+    """Read a crawl sink directory back into one table with FINAL
+    statuses.
+
+    The sink is written distributedly by the fetch+parse tasks/batches
+    *before* content-dup resolution (the dup verdict needs the global
+    fetch order — file.cxx:583-588 — so it can only exist at the tick
+    barrier); under ``page_no_duplicate`` the driver records each tick's
+    duplicate urls in a tiny sidecar (``dup_patches/tick=N.parquet``).
+    This helper applies the patches.  It materializes the whole sink —
+    a test/inspection utility; at scale, apply the patch as a broadcast
+    semi-join inside ``map_batches`` over ``read_parquet(out_dir)``
+    (the patch side is O(duplicates), the classic small side)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(f"{out_dir}/pages/tick=*/part-*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    patches = sorted(glob.glob(f"{out_dir}/dup_patches/tick=*.parquet"))
+    if patches:
+        dup_urls = pa.concat_tables([pq.read_table(p) for p in patches])["url"]
+        mask = pc.is_in(tbl["url"], value_set=dup_urls.combine_chunks())
+        status = pc.if_else(mask, pa.scalar("duplicate"), tbl["status"])
+        tbl = tbl.set_column(tbl.schema.get_field_index("status"),
+                             "status", status)
+    return tbl
 
 
 def ray_crawl_from_conf(pages: pa.Table, conf_path: str, *,

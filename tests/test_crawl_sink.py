@@ -1,0 +1,73 @@
+"""Distributed sink under pageNoDuplicate (the larbin-test.conf shipped
+profile): page text must never ship to the driver — tasks write their
+own Parquet slices with pre-dup statuses and the driver records only a
+tiny per-tick duplicate-url sidecar; read_crawl_pages() reassembles the
+final table bit-identically to the in-memory crawl result."""
+
+import glob
+
+import pyarrow.parquet as pq
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.oracle.simcrawl import oracle_crawl
+from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+
+def test_dup_mode_sink_distributed(ray_session, tmp_path):
+    from larbin_ray.pipelines.crawl import ray_crawl, read_crawl_pages
+
+    web = gen_web(60, 6, seed=42)
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      num_scheduler_shards=3, num_seen_shards=2)
+    out = str(tmp_path / "sink")
+    res = ray_crawl(web, seeds, cfg, out_dir=out)
+
+    # the crawl result itself is unchanged by sink mode (== oracle)
+    o = oracle_crawl(web, seeds, cfg)
+    assert dict(o.answers) == dict(res.answers)
+    assert sorted(o.order_keys()) == sorted(res.order_keys())
+
+    # sink slices are task-written (multiple parts across ticks) and at
+    # least one status was patched to `duplicate` via the sidecar
+    parts = glob.glob(f"{out}/pages/tick=*/part-*.parquet")
+    assert len(parts) > 1
+    patches = glob.glob(f"{out}/dup_patches/tick=*.parquet")
+    assert patches, "fixture web contains duplicate bodies"
+    n_patched = sum(pq.read_table(p).num_rows for p in patches)
+    assert n_patched == res.answers["duplicate"]
+
+    # read-back == the in-memory result: status per url (incl. patched
+    # duplicates) and byte-identical text for every successful page
+    tbl = read_crawl_pages(out)
+    sink_status = dict(zip(tbl["url"].to_pylist(), tbl["status"].to_pylist()))
+    sink_text = dict(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    assert len(sink_status) == tbl.num_rows == len(res.fetched)
+    keep = ray_crawl(web, seeds, cfg)       # keep-text reference run
+    for r in keep.fetched:
+        st = "robots" if r["is_robots"] else r["status"]
+        assert sink_status[r["url"]] == st
+        if st == "success":
+            assert sink_text[r["url"]] == r["text"]
+
+
+def test_dup_mode_sink_ray_data_path(ray_session, tmp_path):
+    """Same invariants with every tick forced through the Ray Data
+    streaming pipeline (batch-side sink writes)."""
+    from larbin_ray.pipelines.crawl import ray_crawl, read_crawl_pages
+
+    web = gen_web(60, 6, seed=42)
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      num_scheduler_shards=2, num_seen_shards=2,
+                      ray_data_min_tick_rows=0)
+    out = str(tmp_path / "sink_rd")
+    res = ray_crawl(web, seeds, cfg, out_dir=out)
+    tbl = read_crawl_pages(out)
+    assert tbl.num_rows == len(res.fetched)
+    sink_status = dict(zip(tbl["url"].to_pylist(), tbl["status"].to_pylist()))
+    for r in res.fetched:
+        assert sink_status[r["url"]] == ("robots" if r["is_robots"]
+                                         else r["status"])
+    n_dup = sum(1 for s in sink_status.values() if s == "duplicate")
+    assert n_dup == res.answers["duplicate"]
