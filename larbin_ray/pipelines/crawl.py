@@ -174,6 +174,9 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
             ray.kill(a)
 
 
+_ADMIT_T: dict[str, float] = {}   # LARBIN_TICK_DEBUG phase breakdown
+
+
 def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
                    dup_parents: list[tuple],
                    robots_by_shard: dict[int, list] | None = None,
@@ -186,11 +189,15 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     n_seen = cfg.num_seen_shards
     robots_by_shard = robots_by_shard or {}
     refs_by_shard = refs_by_shard or {}
+    import time as _time
+    _t0 = _time.time()
     per_shard = ray.get([
         s.pre_admit_links.remote(dup_parents,
                                  robots_by_shard.get(sid, ()),
                                  refs_by_shard.get(sid, ()))
         for sid, s in enumerate(sched)])
+    _ADMIT_T["pre_admit"] = _ADMIT_T.get("pre_admit", 0.0) + _time.time() - _t0
+    _t0 = _time.time()
     counts = [len(d["hash"]) for d in per_shard]
     total = sum(counts)
     if total == 0:
@@ -212,6 +219,8 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     ip_lo = np.concatenate([np.asarray(d["ip_lo"], dtype=np.int64) for d in per_shard])
     g = np.lexsort((order, sub, ip_lo, ip_hi, prio))   # global admission order
     s_hash, s_origin, s_local = hashes[g], origin[g], local[g]
+    _ADMIT_T["lexsort"] = _ADMIT_T.get("lexsort", 0.0) + _time.time() - _t0
+    _t0 = _time.time()
 
     is_new = np.zeros(total, dtype=bool)
     mod = s_hash % n_seen
@@ -219,20 +228,23 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     for ssid in range(n_seen):
         sel = np.flatnonzero(mod == ssid)
         if len(sel):
-            futs.append(seen[ssid].test_set_sorted.remote(s_hash[sel].tolist()))
+            futs.append(seen[ssid].test_set_sorted.remote(s_hash[sel]))
             sels.append(sel)
     for sel, verdicts in zip(sels, ray.get(futs)):
         is_new[sel] = verdicts
     dups = int(total - is_new.sum())
     if dups:
         res.answers["urlDup"] += dups
+    _ADMIT_T["seen"] = _ADMIT_T.get("seen", 0.0) + _time.time() - _t0
+    _t0 = _time.time()
 
     for sid, c in enumerate(counts):
         v = np.zeros(c, dtype=bool)
         mask = s_origin == sid
         v[s_local[mask]] = is_new[mask]
         # pipelined: per-actor ordering makes the next call the ack
-        sched[sid].enqueue_verdicts.remote(v.tolist())
+        sched[sid].enqueue_verdicts.remote(v)
+    _ADMIT_T["verdicts"] = _ADMIT_T.get("verdicts", 0.0) + _time.time() - _t0
 
 
 def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
@@ -342,17 +354,28 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]
             _t0 = _time.time()
-            # each task returns (meta table, entries-shard-0, ..., -N):
-            # the driver deserializes only the meta tables; each shard
-            # receives refs to exactly its own entry slices at the
-            # admission barrier.  (Streaming the refs to the shards
-            # DURING the wave was tried and measured 20-25% slower:
-            # eight actors blocking in ray.get on unfinished task
-            # outputs pin workers mid-wave and trigger the raylet's
-            # blocked-worker handling.)
+            # each task returns (meta table, entries-shard-0, ..., -N).
+            # The driver waits on the meta refs and, as tasks COMPLETE,
+            # forwards their entry refs to the scheduler shards
+            # (prefeed_links): the shards' entry deserialize+buffer work
+            # runs in the shadow of the wave instead of inside the
+            # admission barrier.  The shards never block — a forwarded
+            # ref is already complete (all of a task's returns commit
+            # when it exits).  (Streaming refs from INSIDE the tasks was
+            # tried and measured 20-25% slower: actors then block in
+            # ray.get on unfinished outputs, pin workers, and trigger
+            # the raylet's blocked-worker handling; pre_admit sorts the
+            # buffer by the unique admission key, so arrival order
+            # cannot change the result.)
+            by_meta = {f[0]: f for f in futs}
+            pending = [f[0] for f in futs]
+            while pending:
+                done, pending = ray.wait(
+                    pending, num_returns=min(len(pending), 8))
+                for sid in range(n_sched):
+                    sched[sid].prefeed_links.remote(
+                        [by_meta[r][1 + sid] for r in done])
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
-            refs_by_shard = {sid: [f[1 + sid] for f in futs]
-                             for sid in range(n_sched)}
             _clk("taskwave", _t0)
 
         _t0 = _time.time()
@@ -372,7 +395,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             for ssid in range(n_seen):
                 sel = np.flatnonzero(dmod == ssid)
                 if len(sel):
-                    d_futs.append(dup[ssid].test_set_sorted.remote(codes[sel].tolist()))
+                    d_futs.append(dup[ssid].test_set_sorted.remote(codes[sel]))
                     d_sel.append(sel)
             dup_rows = []
             for sel, verdicts in zip(d_sel, ray.get(d_futs)):
@@ -456,9 +479,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                              ck_answers, metrics_rows)
         if debug:
             print(f"[tick {tick}] rows={tbl.num_rows} " +
-                  " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())),
+                  " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())) +
+                  " | " + " ".join(f"adm.{k}={v:.2f}"
+                                   for k, v in sorted(_ADMIT_T.items())),
                   flush=True)
             phase_t.clear()
+            _ADMIT_T.clear()
 
         if cfg.limit_page and res.answers["success"] >= cfg.limit_page:
             break

@@ -98,6 +98,17 @@ class SchedulerShardCore:
             else:
                 self._buffer.extend(payload)
 
+    def prefeed_links(self, refs: list) -> None:
+        """Mid-wave entry delivery: the DRIVER forwards refs of tasks it
+        has already seen complete (ray.wait), so the ray.get here never
+        blocks — the deserialize+buffer cost runs in the shadow of the
+        task wave instead of inside the admission barrier.  (Contrast
+        the measured-negative variant where tasks streamed refs
+        directly: actors then blocked on unfinished outputs and pinned
+        workers.)  Per-submitter actor ordering puts every prefeed
+        before the tick's pre_admit_links."""
+        self.submit_links_refs(refs)
+
     def begin_tick(self, tick: int) -> tuple[list[dict], dict, int]:
         robots_rows = self.core.resolve_new_hosts(tick)
         page_cols = self.core.dispatch_columns(tick)
