@@ -96,9 +96,18 @@ def run_bench() -> dict:
     n_pages, n_domains = WEB_SCALE[_sf_tag()]
 
     # ---- headline: the crawl loop (drain mode = throughput config) ----
+    # max_dispatch_per_ip bounds how much of one IP's queue a tick may
+    # drain, so per-tick driver work (ctrl sort, admission merge) stays
+    # bounded even when one IP queues millions of urls at design scale.
+    # 1024 never binds at bench scale (tick volume and page counts are
+    # identical with/without; measured 10.0-11.4 s both ways at 32
+    # CPUs), while 16 splits the crawl into ~500 micro-ticks and pays
+    # ~70 ms of fixed barrier cost per tick (38 s total) — the budget
+    # must stay well above per-IP per-tick fan-out or tick count
+    # explodes.
     cfg = CrawlConfig(wait_duration=0, depth_by_site=True,
                       num_scheduler_shards=8, num_seen_shards=4,
-                      parse_batch_size=512)
+                      parse_batch_size=512, max_dispatch_per_ip=1024)
     # untimed warmup: saturate the FULL worker pool (a small crawl only
     # spawns a few workers; the first big tick then stalls ~20s while Ray
     # forks and imports the rest of the pool all at once)
