@@ -363,18 +363,18 @@ def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "doc_b": np.concatenate(out_b)})
 
 
-def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
-                       concurrency: int | None = None) -> rd.Dataset:
+def _minhash_candidate_pairs(sf_dir: str, num_hashes: int = 64,
+                             bands: int = 16,
+                             concurrency: int | None = None) -> rd.Dataset:
     """documents -> minhash signatures (distributed actor pool) -> banded
-    (band, key) rows -> groupby(bucket) pair emission -> groupby(pair)
-    band-match count.  Returns a Dataset of (doc_a < doc_b, n_bands).
+    (band, key) rows -> groupby(bucket) pair emission.  Returns the RAW
+    candidate-pair stream: a pair appears once per matching band (callers
+    that need multiplicity or uniqueness reduce/unique it themselves).
 
-    Everything is distributed: the banded rows shuffle by a hash bucket
-    of (band, key) — one python map_groups call per *bucket* (sized by
-    shuffle_buckets, not per LSH key: most LSH keys are singletons and a
-    per-key map_groups would pay a python call each) — and the pair
-    multiplicity reduce is a second small shuffle over candidate pairs
-    only."""
+    The banded rows shuffle by a hash bucket of (band, key) — one python
+    map_groups call per *bucket* (sized by shuffle_buckets, not per LSH
+    key: most LSH keys are singletons and a per-key map_groups would pay
+    a python call each)."""
     from larbin_ray.pipelines import pool_size
     rows_per_band = num_hashes // bands
     n_buckets = shuffle_buckets(_doc_rows(sf_dir) * bands)
@@ -386,8 +386,16 @@ def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band, n_buckets),
         batch_format="pandas")
-    pairs = (banded.groupby("bucket")
-             .map_groups(_emit_bucket_pairs, batch_format="pandas"))
+    return (banded.groupby("bucket")
+            .map_groups(_emit_bucket_pairs, batch_format="pandas"))
+
+
+def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
+                       concurrency: int | None = None) -> rd.Dataset:
+    """Candidate pairs with band-match multiplicity: (doc_a < doc_b,
+    n_bands).  The multiplicity reduce is a small bucketed shuffle over
+    candidate pairs only."""
+    pairs = _minhash_candidate_pairs(sf_dir, num_hashes, bands, concurrency)
 
     def count_bands(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
@@ -415,34 +423,39 @@ def _shingle_hashes64(text: str, k: int = 3) -> np.ndarray:
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
     """LSH candidates verified by exact shingle Jaccard — distributed
-    end to end; the driver holds only the candidate doc-id array (the
-    accepted small-side broadcast) and the final qualifying pairs.
+    end to end; the driver holds only the candidate pair/doc-id arrays
+    (the accepted O(candidates) broadcast) and the final qualifying
+    pairs.
 
     Verification is a posting-list intersection restricted to candidate
     documents: each candidate doc explodes to (shingle-hash, doc_id, sz)
     rows -> groupby(bucket-of-shingle) pair emission (sz rides on every
-    row, so |A ∪ B| needs no join) -> a bucketed pair reduce counts
-    |A ∩ B|, computes jaccard and threshold-filters.  The LSH
-    candidate-pair restriction is applied in the same distributed
-    reduce: candidate pairs and verified pairs union into one shuffle
-    (identical slim schemas) and a group survives iff it contains both
-    a candidate row and a jaccard row.  No driver-side per-pair loop
-    and no driver-held shingle table."""
+    row, so |A ∪ B| needs no join), with emitted pairs filtered to the
+    broadcast LSH candidate set right at emission -> ONE bucketed pair
+    reduce counts |A ∩ B|, computes jaccard and threshold-filters.  No
+    driver-side per-pair loop and no driver-held shingle table."""
     import ray
 
     empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
-    cand = minhash_candidates(sf_dir, **kw).materialize()
-    # candidate doc-id membership: per-batch uniques -> tiny driver merge
-    id_parts = cand.map_batches(
-        lambda df: pd.DataFrame({"doc_id": np.unique(np.concatenate(
-            [df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)]))}),
-        batch_format="pandas").to_pandas()
-    if id_parts.empty:
+    # raw pair stream (one row per matching band); uniqueness falls out
+    # of the driver-side unique below — O(candidates), same order as the
+    # broadcast itself, so no band-count reduce shuffle is needed here
+    raw = _minhash_candidate_pairs(sf_dir, **kw).to_pandas()
+    if raw.empty:
         return empty
-    need = np.unique(id_parts["doc_id"].to_numpy())
+    pa_ids = raw["doc_a"].to_numpy(np.int64)
+    pb_ids = raw["doc_b"].to_numpy(np.int64)
+    need = np.unique(np.concatenate([pa_ids, pb_ids]))
+    # compact pair key ia*M+ib (ia, ib = positions in `need`): fits int64
+    # while M < ~3e9 — the candidate-doc broadcast is small-side by
+    # contract long before that
+    m = len(need)
+    pair_keys = np.unique(np.searchsorted(need, pa_ids) * m
+                          + np.searchsorted(need, pb_ids))
     need_ref = ray.put(need)     # sorted — batches use searchsorted membership
+    keys_ref = ray.put(pair_keys)
     n_buckets = shuffle_buckets(len(need) * 64, rows_per_bucket=50_000)
 
     def cand_postings(df: pd.DataFrame) -> pd.DataFrame:
@@ -465,6 +478,21 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
             "bucket": _mix_bucket(np.zeros(len(gram_np), dtype=np.int64),
                                   gram_np, n_buckets)})
 
+    def emit_cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # gram-co-occurrence pairs, kept only if LSH-candidate (broadcast
+        # sorted compact-key membership) — non-candidate pairs never
+        # enter the reduce shuffle
+        out = _emit_gram_pairs(g)
+        if out.empty:
+            return out
+        need_ids, keys = ray.get(need_ref), ray.get(keys_ref)
+        k = (np.searchsorted(need_ids, out["doc_a"].to_numpy(np.int64))
+             * len(need_ids)
+             + np.searchsorted(need_ids, out["doc_b"].to_numpy(np.int64)))
+        pos = np.searchsorted(keys, k)
+        pos[pos >= len(keys)] = 0
+        return out[keys[pos] == k]
+
     def jaccard_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
             inter=("doc_a", "size"), sz_a=("sz_a", "first"),
@@ -473,35 +501,17 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
         union = np.maximum(g["sz_a"].to_numpy(dtype=np.int64)
                            + g["sz_b"].to_numpy(dtype=np.int64) - iv, 1)
         g["jaccard"] = np.round(iv / union, 6)
-        g = g.loc[g["jaccard"] >= threshold, ["doc_a", "doc_b", "jaccard"]]
-        g["is_cand"] = np.zeros(len(g), dtype=np.int64)
-        return g
+        return g.loc[g["jaccard"] >= threshold, ["doc_a", "doc_b", "jaccard"]]
 
     from larbin_ray.pipelines.reduce import hash_reduce
 
-    verified = hash_reduce(
+    out = hash_reduce(
         (load_documents(sf_dir, ["doc_id", "text"])
          .map_batches(cand_postings, batch_format="pandas")
          .groupby("bucket")
-         .map_groups(_emit_gram_pairs, batch_format="pandas")),
+         .map_groups(emit_cand_pairs, batch_format="pandas")),
         ["doc_a", "doc_b"], jaccard_rows,
-        shuffle_buckets(len(need)))
-    cand_rows = cand.map_batches(
-        lambda df: pd.DataFrame({
-            "doc_a": df["doc_a"].astype("int64"),
-            "doc_b": df["doc_b"].astype("int64"),
-            "jaccard": np.full(len(df), -1.0),
-            "is_cand": np.ones(len(df), dtype=np.int64)}),
-        batch_format="pandas")
-
-    def cand_filter(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            jaccard=("jaccard", "max"), n_cand=("is_cand", "sum"))
-        return g.loc[(g["n_cand"] > 0) & (g["jaccard"] >= 0),
-                     ["doc_a", "doc_b", "jaccard"]]
-
-    out = hash_reduce(verified.union(cand_rows), ["doc_a", "doc_b"],
-                      cand_filter, shuffle_buckets(len(need))).to_pandas()
+        shuffle_buckets(len(need))).to_pandas()
     if out.empty:
         return empty
     return (out.astype({"doc_a": "int64", "doc_b": "int64"})
