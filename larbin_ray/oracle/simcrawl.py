@@ -99,6 +99,13 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
 
     # ---- tick loop ----
     for tick in range(max_ticks):
+        # limitTime (limit_time.cxx:40: endTime-startTime >= limitTime
+        # stops the crawl).  The batch engine has no wall clock; its
+        # simulated clock is the politeness tick — tick k starts at
+        # k*waitDuration seconds (1 s/tick in drain mode), so the crawl
+        # ends before the first tick whose start time reaches the limit.
+        if cfg.limit_time and tick * max(cfg.wait_duration, 1) >= cfg.limit_time:
+            break
         for i, s_url in enumerate((inject or {}).get(tick, [])):
             u = parse_url(s_url.encode("latin-1"), cfg.depth_in_site, None)
             if u.is_valid():

@@ -292,6 +292,11 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
 
     # ---- tick loop ----
     for tick in range(start_tick, max_ticks):
+        # limitTime on the simulated clock: tick k starts at
+        # k*waitDuration seconds (1 s/tick in drain mode) — same
+        # expression as the oracle (limit_time.cxx:40 semantics)
+        if cfg.limit_time and tick * max(cfg.wait_duration, 1) >= cfg.limit_time:
+            break
         injected = (inject or {}).get(tick, [])
         if injected:
             # S2 input-port equivalent: submissions run straight through

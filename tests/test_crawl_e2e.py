@@ -346,3 +346,31 @@ def test_long_crawl_throughput_mode(ray_session):
     assert dict(slim.answers) == dict(full.answers)
     # driver peak RSS must not grow materially over a no-rows crawl
     assert rss_after - rss_before < 200_000   # < ~200 MB in KiB units
+
+
+def test_limit_time_and_limit_page_parity(ray_session, web, seeds):
+    """limitTime (limit_time.cxx:40) on the simulated clock — tick k
+    starts at k*waitDuration seconds — and limitPage (main.cxx:139-142)
+    both stop the crawl identically in engine and oracle, strictly
+    earlier than the unlimited run."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    base = dict(depth_by_site=True, wait_duration=30,
+                num_scheduler_shards=2, num_seen_shards=2)
+    full = oracle_crawl(web, seeds, CrawlConfig(**base))
+    assert max(r["tick"] for r in full.fetched) >= 3
+
+    # ticks 0..2 run (tick 3 would start at t=90 >= limit)
+    cfg_t = CrawlConfig(**base, limit_time=90)
+    o = oracle_crawl(web, seeds, cfg_t)
+    e = ray_crawl(web, seeds, cfg_t)
+    assert_same_crawl(o, e)
+    assert max(r["tick"] for r in o.fetched) == 2
+    assert len(o.fetched) < len(full.fetched)
+
+    cfg_p = CrawlConfig(**base, limit_page=5)
+    o = oracle_crawl(web, seeds, cfg_p)
+    e = ray_crawl(web, seeds, cfg_p)
+    assert_same_crawl(o, e)
+    assert o.answers["success"] >= 5
+    assert len(o.fetched) < len(full.fetched)
