@@ -325,6 +325,21 @@ class MinHasher:
         return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
 
 
+# per-worker-process MinHasher cache: setup is microseconds (seeded
+# RandomState + one regex), so a task-pool map_batches with a cached
+# instance gives the same setup-once-per-worker property as an actor
+# pool without paying the ~1-2 s pool spawn every pipeline run (actors
+# for a map_batches stage are created per call, not per session)
+_MINHASHERS: dict[int, MinHasher] = {}
+
+
+def _minhash_sig_batch(df: pd.DataFrame, num_hashes: int) -> pd.DataFrame:
+    mh = _MINHASHERS.get(num_hashes)
+    if mh is None:
+        mh = _MINHASHERS[num_hashes] = MinHasher(num_hashes=num_hashes)
+    return mh(df)
+
+
 def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int,
                n_buckets: int) -> pd.DataFrame:
     out_doc, out_band, out_key = [], [], []
@@ -380,9 +395,8 @@ def _minhash_candidate_pairs(sf_dir: str, num_hashes: int = 64,
     n_buckets = shuffle_buckets(_doc_rows(sf_dir) * bands)
     pool = concurrency or pool_size()
     ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_hashes": num_hashes},
-                          batch_format="pandas", concurrency=pool,
-                          batch_size=512)
+    sigs = ds.map_batches(lambda df: _minhash_sig_batch(df, num_hashes),
+                          batch_format="pandas", batch_size=512)
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band, n_buckets),
         batch_format="pandas")
