@@ -127,13 +127,13 @@ def run_bench() -> dict:
     # worker-pool ramp (fork + imports + per-worker pages index) that
     # otherwise lands inside the first timed run as 10-40 s stalls.
     # The timed figure is steady-state throughput — the regime that
-    # matters at the 10^10-URL design scale — taken as best of 2 with
-    # both samples recorded (single-run variance on this shared host
+    # matters at the 10^10-URL design scale — taken as best of 3 with
+    # all samples recorded (single-run variance on this shared host
     # is 2-3x; see BASELINE.md measurement protocol).
     ray_crawl(web, breadth_seeds(n_domains), cfg,
               out_dir=f"{CACHE}/crawl_warm_{NUM_CPUS}", build_rows=False)
     samples = []
-    for i in range(2):
+    for i in range(3):
         t0 = time.time()
         res = ray_crawl(web, breadth_seeds(n_domains), cfg,
                         out_dir=f"{CACHE}/crawl_out_{NUM_CPUS}",
@@ -147,6 +147,25 @@ def run_bench() -> dict:
     # frontier ops = urls through admission (seen testSet calls)
     frontier_ops = sum(res.answers.values()) + res.answers.get("urlDup", 0)
     extras["frontier_ops_per_sec"] = round(frontier_ops / timings["crawl"], 1)
+
+    # Ray Data streaming tick path (the cluster-scale regime): every
+    # tick through the map_batches pipeline instead of plain tasks.
+    # Recorded as its own datapoint — the task path stays the headline
+    # because per-tick Dataset overhead (~0.5 s fixed per pipeline)
+    # only amortizes above ~10k rows/tick (see config.py
+    # ray_data_min_tick_rows); oracle parity for this path is asserted
+    # by tests/test_crawl_e2e.py::test_ray_data_tick_path_matches.
+    import dataclasses
+
+    cfg_rd = dataclasses.replace(cfg, ray_data_min_tick_rows=0)
+    t0 = time.time()
+    res_rd = ray_crawl(web, breadth_seeds(n_domains), cfg_rd,
+                       out_dir=f"{CACHE}/crawl_rd_{NUM_CPUS}",
+                       build_rows=False)
+    rd_sec = round(time.time() - t0, 3)
+    extras["crawl_ray_data_sec"] = rd_sec
+    extras["crawl_ray_data_pages_per_sec"] = round(
+        res_rd.fetched_count() / rd_sec, 1)
 
     # ---- training-data pipelines over the sf tables ----
     timed("dedup_exact_hash", lambda: T.dedup_exact_hash(SF_DIR))

@@ -1,0 +1,82 @@
+"""``ray job submit``-able crawl entrypoint (SURVEY.md §7 phase 4).
+
+Runs the full crawl loop from a Larbin conf file over a pages Parquet
+table, with checkpoint/resume so a killed job continues without
+re-fetching:
+
+    ray job submit --working-dir . -- \
+        python -m larbin_ray --conf larbin.conf --pages pages.parquet \
+            --out /data/crawl_out --checkpoint /data/crawl_ckpt --resume
+
+On a workstation the same command runs standalone (Ray auto-inits a
+local cluster).  The reference equivalent is ``./larbin -c larbin.conf``
+(main.cxx:83-118); resume mirrors its dotted-state reload (``canReload``,
+global.cxx:117-139) but from per-partition Parquet snapshots.
+
+Only this CLI owns the Ray session decision: under ``ray job submit``
+the job driver is already connected, so ``ray.init`` is guarded (the
+library itself never calls init/shutdown — driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m larbin_ray",
+        description="Ray-Data-native Larbin crawl over a pages Parquet table")
+    p.add_argument("--conf", required=True,
+                   help="Larbin configuration file (startUrl lines = seeds)")
+    p.add_argument("--pages", required=True,
+                   help="Parquet table of (url, warc_ts, html, text, lang)")
+    p.add_argument("--out", default=None,
+                   help="output directory (distributed per-tick Parquet "
+                        "sink); omit for a no-output test crawl")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint directory (tick-boundary frontier/seen "
+                        "snapshots + metrics.parquet lineage)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore from --checkpoint and continue")
+    p.add_argument("--max-ticks", type=int, default=None)
+    p.add_argument("--stats-report", action="store_true",
+                   help="print the printStats-style text report at the end "
+                        "(needs --checkpoint: the report reads the metrics "
+                        "Parquet lineage)")
+    args = p.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():          # already connected under ray job submit
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+
+    import pyarrow.parquet as pq
+
+    from larbin_ray.pipelines.crawl import ray_crawl_from_conf
+
+    pages = pq.read_table(args.pages)
+    t0 = time.time()
+    res = ray_crawl_from_conf(
+        pages, args.conf, out_dir=args.out, build_rows=False,
+        checkpoint_dir=args.checkpoint, resume=args.resume,
+        max_ticks=args.max_ticks)
+    wall = time.time() - t0
+
+    if args.stats_report and args.checkpoint:
+        from larbin_ray.pipelines.stats import crawl_stats_report
+        print(crawl_stats_report(args.checkpoint))
+    print(json.dumps({
+        "fetched": res.fetched_count(),
+        "seconds": round(wall, 3),
+        "pages_per_sec": round(res.fetched_count() / max(wall, 1e-9), 1),
+        "answers": dict(res.answers),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,20 +46,9 @@ from larbin_ray.oracle.simcrawl import CrawlResult
 from larbin_ray.pipelines.extract import from_table
 from larbin_ray.stages.fetch import make_fetch_fn, put_pages
 from larbin_ray.stages.parse import ParseExtract
-from larbin_ray.stages.scheduler import SchedulerShard, shard_of_host
+from larbin_ray.stages.scheduler import (DISPATCH_SCHEMA, SchedulerShard,
+                                         shard_of_host)
 from larbin_ray.stages.seen import BitsetShard, gather_seen_indices
-
-DISPATCH_SCHEMA = pa.schema([
-    ("url", pa.string()),
-    ("host", pa.string()),
-    ("port", pa.int32()),
-    ("ip", pa.string()),
-    ("depth", pa.int32()),
-    ("is_robots", pa.bool_()),
-    ("tick", pa.int32()),
-    ("sub", pa.int32()),
-    ("cookie", pa.binary()),
-])
 
 
 def _dispatch_table(rows: list[dict]) -> pa.Table:
@@ -316,22 +305,20 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         begins = ray.get([s.begin_tick.remote(tick) for s in sched])
         _clk("begin", _t0)
         robots_rows = [r for b in begins for r in b[0]]
-        n_pages_tick = sum(len(b[1]["url"]) for b in begins)
+        n_pages_tick = sum(b[1].num_rows for b in begins)
         queued = sum(b[2] for b in begins)
         if not robots_rows and n_pages_tick == 0:
             if queued == 0 and not any(t > tick for t in (inject or {})):
                 break
             continue
 
-        cols = {f.name: [] for f in DISPATCH_SCHEMA}
-        for r in robots_rows:
-            for k in cols:
-                cols[k].append(r[k])
-        for b in begins:
-            for k in cols:
-                cols[k].extend(b[1][k])
-        tbl = pa.table({n: pa.array(v, DISPATCH_SCHEMA.field(n).type)
-                        for n, v in cols.items()})
+        # robots rows first, then each shard's dispatch table in shard
+        # order (same order the old driver-side column build produced);
+        # the shard tables arrive Arrow-ready, so this is a zero-copy
+        # concat, not a per-row python loop
+        parts = ([_dispatch_table(robots_rows)] if robots_rows else [])
+        parts += [b[1] for b in begins if b[1].num_rows]
+        tbl = pa.concat_tables(parts)
         bs = cfg.parse_batch_size
         # the sink is ALWAYS task/batch-side (distributed, resumable);
         # under page_no_duplicate the statuses resolved to `duplicate` at
@@ -522,6 +509,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     res.seen_indices = gather_seen_indices(seen)
     if checkpoint_dir and metrics_rows:
         import pyarrow.parquet as pq
+        _os.makedirs(checkpoint_dir, exist_ok=True)
         pq.write_table(pa.Table.from_pylist(metrics_rows),
                        f"{checkpoint_dir}/metrics.parquet")
     return res

@@ -21,11 +21,25 @@ from __future__ import annotations
 
 import zlib
 
+import pyarrow as pa
 import ray
 
 from larbin_ray.config import CrawlConfig
 from larbin_ray.sources import dns as fixture_dns
 from larbin_ray.state.sites import SchedulerCore, UrlRec
+
+# one row per fetch the tick dispatches (robots + pages)
+DISPATCH_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("host", pa.string()),
+    ("port", pa.int32()),
+    ("ip", pa.string()),
+    ("depth", pa.int32()),
+    ("is_robots", pa.bool_()),
+    ("tick", pa.int32()),
+    ("sub", pa.int32()),
+    ("cookie", pa.binary()),
+])
 
 _CRC_CACHE: dict[str, int] = {}
 
@@ -109,10 +123,18 @@ class SchedulerShardCore:
         before the tick's pre_admit_links."""
         self.submit_links_refs(refs)
 
-    def begin_tick(self, tick: int) -> tuple[list[dict], dict, int]:
+    def begin_tick(self, tick: int) -> tuple[list[dict], pa.Table, int]:
+        """Dispatch rows leave the shard as an Arrow table: the python
+        list -> pa.array conversion runs on the 8 shards in parallel and
+        the driver's per-tick table build shrinks to a zero-copy
+        concat_tables (measured ~2 s of serial driver work per 400k-page
+        crawl before this)."""
         robots_rows = self.core.resolve_new_hosts(tick)
         page_cols = self.core.dispatch_columns(tick)
-        return robots_rows, page_cols, self.core.queued_count()
+        page_tbl = pa.table({n: pa.array(page_cols[n],
+                                         DISPATCH_SCHEMA.field(n).type)
+                             for n in DISPATCH_SCHEMA.names})
+        return robots_rows, page_tbl, self.core.queued_count()
 
     def pre_admit_links(self, dup_parents: list[tuple],
                         robots_items: list[tuple] = (),

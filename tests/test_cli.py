@@ -1,0 +1,61 @@
+"""`python -m larbin_ray` — the ray-job-submit entrypoint (SURVEY.md §7
+phase 4): conf-driven crawl, JSON summary line, checkpoint + stats
+report, and parity with the oracle's answers histogram."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+
+CONF = """\
+From t@example.org
+UserAgent larbin_2.6.5
+outputMode 1
+pagesConnexions 16
+dnsConnexions 2
+depthInSite 5
+depthBySite
+waitDuration 0
+limitTime 0
+limitPage 0
+startUrl http://h0.example/
+startUrl http://h1.example/
+pageNoDuplicate
+forbiddenExtensions
+.tar .gz
+end
+"""
+
+
+def test_cli_crawl_from_conf(tmp_path):
+    from larbin_ray.config import CrawlConfig
+    from larbin_ray.kernels.confparse import parse_larbin_conf
+    from larbin_ray.oracle.simcrawl import oracle_crawl
+    from larbin_ray.sources.synthweb import gen_web
+
+    web = gen_web(60, 6, seed=42)
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(web, pages)
+    conf = tmp_path / "t.conf"
+    conf.write_text(CONF)
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    p = subprocess.run(
+        [sys.executable, "-m", "larbin_ray", "--conf", str(conf),
+         "--pages", str(pages), "--out", str(out),
+         "--checkpoint", str(ckpt), "--stats-report"],
+        capture_output=True, text=True, timeout=300, check=True)
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+
+    cfg, seeds = parse_larbin_conf(CONF)
+    o = oracle_crawl(web, seeds, cfg)
+    assert got["fetched"] == len(o.fetched)
+    assert got["answers"] == dict(o.answers)
+    # stats report rendered from the metrics lineage
+    assert "larbin_ray crawl stats" in p.stdout
+    # distributed sink wrote per-tick slices
+    assert list(out.glob("pages/tick=*/*.parquet"))
