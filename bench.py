@@ -30,6 +30,19 @@ CACHE = "/tmp/larbin_bench_cache"
 WEB_SCALE = {"0.001": (2_000, 100), "0.01": (12_000, 600), "0.1": (400_000, 8_000)}
 
 
+def web_scale() -> tuple[int, int]:
+    """(pages, domains) for the bench web.  ``GRAFT_BENCH_WEB=P,D``
+    overrides the sf-tier default — used by the design-scale ``--scaling``
+    protocol, where per-tick volume must be representative of the
+    10^10-URL regime for the fixed per-tick coordination to amortize
+    (see BASELINE.md scaling section)."""
+    env = os.environ.get("GRAFT_BENCH_WEB")
+    if env:
+        p, d = env.split(",")
+        return int(p), int(d)
+    return WEB_SCALE[_sf_tag()]
+
+
 def _sf_tag() -> str:
     for tag in ("0.001", "0.01", "0.1"):
         if tag in SF_DIR and not (tag == "0.01" and "0.001" in SF_DIR):
@@ -45,7 +58,7 @@ def bench_web_path() -> str:
     """Generate (once) and cache the bench-scale synthetic web."""
     import pyarrow.parquet as pq
 
-    n_pages, n_domains = WEB_SCALE[_sf_tag()]
+    n_pages, n_domains = web_scale()
     os.makedirs(CACHE, exist_ok=True)
     path = f"{CACHE}/web_v2_{n_pages}_{n_domains}.parquet"
     if not os.path.exists(path):
@@ -93,7 +106,7 @@ def run_bench() -> dict:
     # warm the page cache (untimed)
     web_path = bench_web_path()
     web = pq.read_table(web_path)
-    n_pages, n_domains = WEB_SCALE[_sf_tag()]
+    n_pages, n_domains = web_scale()
 
     # ---- headline: the crawl loop (drain mode = throughput config) ----
     # max_dispatch_per_ip bounds how much of one IP's queue a tick may
@@ -155,17 +168,20 @@ def run_bench() -> dict:
     # only amortizes above ~10k rows/tick (see config.py
     # ray_data_min_tick_rows); oracle parity for this path is asserted
     # by tests/test_crawl_e2e.py::test_ray_data_tick_path_matches.
-    import dataclasses
+    # (GRAFT_NO_RD=1 skips it — used by the long design-scale --scaling
+    # protocol, whose criterion is the headline task-path crawl)
+    if not os.environ.get("GRAFT_NO_RD"):
+        import dataclasses
 
-    cfg_rd = dataclasses.replace(cfg, ray_data_min_tick_rows=0)
-    t0 = time.time()
-    res_rd = ray_crawl(web, breadth_seeds(n_domains), cfg_rd,
-                       out_dir=f"{CACHE}/crawl_rd_{NUM_CPUS}",
-                       build_rows=False)
-    rd_sec = round(time.time() - t0, 3)
-    extras["crawl_ray_data_sec"] = rd_sec
-    extras["crawl_ray_data_pages_per_sec"] = round(
-        res_rd.fetched_count() / rd_sec, 1)
+        cfg_rd = dataclasses.replace(cfg, ray_data_min_tick_rows=0)
+        t0 = time.time()
+        res_rd = ray_crawl(web, breadth_seeds(n_domains), cfg_rd,
+                           out_dir=f"{CACHE}/crawl_rd_{NUM_CPUS}",
+                           build_rows=False)
+        rd_sec = round(time.time() - t0, 3)
+        extras["crawl_ray_data_sec"] = rd_sec
+        extras["crawl_ray_data_pages_per_sec"] = round(
+            res_rd.fetched_count() / rd_sec, 1)
 
     # ---- training-data pipelines over the sf tables ----
     timed("dedup_exact_hash", lambda: T.dedup_exact_hash(SF_DIR))
