@@ -13,3 +13,25 @@ def pool_size(frac: float = 0.4, cap: int = 8) -> int:
     except Exception:
         cpus = 4
     return max(1, min(cap, int(cpus * frac)))
+
+
+_WORKER_STAGES: dict = {}
+
+
+def worker_stage(cls, *args):
+    """Per-worker-process stage cache for CHEAP-setup stages.
+
+    A callable class passed to ``map_batches(Cls, concurrency=N)`` spawns
+    a fresh actor pool on every pipeline run (~1-2 s measured on this
+    host) — the right trade only when ``__init__`` is expensive (model
+    load, codec state, a broadcast matrix: see multimodal stages,
+    KnnScorer).  For stages whose setup is microseconds (compiled
+    regexes, marker sets, seeded RNG), a module-level instance cache
+    gives the same setup-once-per-worker property on the already-warm
+    task pool: ``ds.map_batches(lambda df: worker_stage(Cls, a)(df))``.
+    ``args`` must be hashable and fully determine the instance."""
+    key = (cls, args)
+    inst = _WORKER_STAGES.get(key)
+    if inst is None:
+        inst = _WORKER_STAGES[key] = cls(*args)
+    return inst

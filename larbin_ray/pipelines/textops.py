@@ -161,8 +161,9 @@ def token_stats_bpe(sf_dir: str) -> rd.Dataset:
 
 
 class QualityScorer:
-    """Actor-pool stage: stopword/punct/length quality signals.  Regexes
-    compiled once per actor (SURVEY.md actor-pool pattern)."""
+    """Stopword/punct/length quality signals.  Regexes compiled once per
+    worker (cheap-setup stage -> pipelines.worker_stage cache, not an
+    actor pool)."""
 
     def __init__(self):
         self.ws = re.compile(r"\s+")
@@ -187,11 +188,11 @@ class QualityScorer:
 
 
 def quality_scores(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
-    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines import pool_size, worker_stage
     pool = concurrency or pool_size()
     ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
-    return ds.map_batches(QualityScorer, batch_format="pandas",
-                          concurrency=pool, batch_size=512)
+    return ds.map_batches(lambda df: worker_stage(QualityScorer)(df),
+                          batch_format="pandas", batch_size=512)
 
 
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
@@ -276,11 +277,11 @@ class LangId:
 
 
 def lang_id(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
-    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines import pool_size, worker_stage
     pool = concurrency or pool_size()
     ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
-    return ds.map_batches(LangId, batch_format="pandas",
-                          concurrency=pool, batch_size=512)
+    return ds.map_batches(lambda df: worker_stage(LangId)(df),
+                          batch_format="pandas", batch_size=512)
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +292,7 @@ _MERSENNE = (1 << 61) - 1
 
 class MinHasher:
     """Shingle -> minhash signature stage.  Hash seeds generated once per
-    actor from a fixed seed (deterministic across runs and actors)."""
+    worker from a fixed seed (deterministic across runs and workers)."""
 
     def __init__(self, num_hashes: int = 64, shingle: int = 3):
         # a < 2^31 and shingle values < 2^32 keep a*x + b < 2^64: the
@@ -325,19 +326,12 @@ class MinHasher:
         return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
 
 
-# per-worker-process MinHasher cache: setup is microseconds (seeded
-# RandomState + one regex), so a task-pool map_batches with a cached
-# instance gives the same setup-once-per-worker property as an actor
-# pool without paying the ~1-2 s pool spawn every pipeline run (actors
-# for a map_batches stage are created per call, not per session)
-_MINHASHERS: dict[int, MinHasher] = {}
-
-
+# setup is microseconds (seeded RandomState + one regex) -> per-worker
+# instance cache on the warm task pool, not an actor pool
+# (pipelines.worker_stage rationale)
 def _minhash_sig_batch(df: pd.DataFrame, num_hashes: int) -> pd.DataFrame:
-    mh = _MINHASHERS.get(num_hashes)
-    if mh is None:
-        mh = _MINHASHERS[num_hashes] = MinHasher(num_hashes=num_hashes)
-    return mh(df)
+    from larbin_ray.pipelines import worker_stage
+    return worker_stage(MinHasher, num_hashes)(df)
 
 
 def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int,

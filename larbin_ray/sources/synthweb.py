@@ -19,6 +19,7 @@ no-connection hosts, a literal-IP host.
 from __future__ import annotations
 
 import datetime
+import itertools
 import random
 
 import pyarrow as pa
@@ -72,11 +73,16 @@ def gen_web(n_pages: int = 240, n_domains: int = 12, seed: int = 42) -> pa.Table
     rng = random.Random(seed)
     domains = [domain_name(d) for d in range(n_domains)]
     weights = [1.0 / (d + 1) for d in range(n_domains)]
+    # precomputed cum_weights: random.choices(weights=...) re-accumulates
+    # the whole weight list PER CALL (O(n_domains) each — hours for a
+    # 1.6M x 32k web); cum_weights= consumes the identical random()
+    # draw and bisects, so the generated web is bit-identical
+    cum_weights = list(itertools.accumulate(weights))
 
     # per-domain page path lists (regular pages only)
     pages_of: dict[str, list[str]] = {d: [] for d in domains}
     for i in range(n_pages):
-        d = rng.choices(domains, weights=weights)[0]
+        d = rng.choices(domains, cum_weights=cum_weights)[0]
         pages_of[d].append(f"/p/{len(pages_of[d])}.html")
 
     # sibling subdomains of domain 0 share its registered domain => same
