@@ -157,6 +157,15 @@ def run_bench() -> dict:
     extras["crawl_pages"] = fetched
     extras["crawl_sec_samples"] = samples
     extras["crawl_pages_per_sec"] = round(fetched / timings["crawl"], 1)
+    # output-identity fingerprint (protocol step 4 in BASELINE.md): the
+    # answers histogram + the full URL-seen bitset indices hash equal
+    # across parallelism levels iff the crawl ordering and seen set are
+    # identical — --scaling asserts lo == hi
+    import hashlib as _hl
+
+    _h = _hl.md5(json.dumps(sorted(res.answers.items())).encode())
+    _h.update(res.seen_indices.tobytes())
+    extras["crawl_state_hash"] = _h.hexdigest()
     # frontier ops = urls through admission (seen testSet calls)
     frontier_ops = sum(res.answers.values()) + res.answers.get("urlDup", 0)
     extras["frontier_ops_per_sec"] = round(frontier_ops / timings["crawl"], 1)
@@ -248,7 +257,12 @@ def run_scaling() -> dict:
     t_hi = min(r["value"] for r in his)
     eff = (t_lo / t_hi) / ratio
     crawl_eff = (lo["queries"]["crawl"] / hi["queries"]["crawl"]) / ratio
+    # protocol step 4: identical outputs at both parallelism levels
+    hashes = {r["crawl_state_hash"] for r in los + his}
+    assert len(hashes) == 1, f"crawl state diverged across levels: {hashes}"
     return {
+        "outputs_identical": True,
+        "crawl_state_hash": hashes.pop(),
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
