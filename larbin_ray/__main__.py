@@ -48,11 +48,15 @@ def main(argv: list[str] | None = None) -> int:
                         "(needs --checkpoint: the report reads the metrics "
                         "Parquet lineage)")
     args = p.parse_args(argv)
+    if args.resume and not args.checkpoint:
+        p.error("--resume requires --checkpoint")
 
     import ray
-    if not ray.is_initialized():          # already connected under ray job submit
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+    if not ray.is_initialized():
+        # plain init honors RAY_ADDRESS (the job agent / cluster address
+        # under `ray job submit`); a standalone run on a workstation
+        # auto-starts a local instance
+        ray.init(include_dashboard=False, logging_level="ERROR")
 
     import pyarrow.parquet as pq
 

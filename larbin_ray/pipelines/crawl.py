@@ -72,20 +72,25 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
     (acked), return the parse table without the links column.  The
     Ray Data variant of the stage (blocking ack per batch).  When
     ``sink_dir`` is set the batch writes its own Parquet slice (the
-    distributed sink, like the task path); the part name derives from
-    the batch's first url so reruns overwrite rather than duplicate."""
+    distributed sink, like the task path); the part name is the 64-bit
+    md5 of the batch's first url — batch boundaries are deterministic
+    per tick, so a rerun of the same tick overwrites its own parts
+    (collision odds ~n_batches^2/2^65 per tick; the driver also clears
+    each tick's sink dir before dispatch, so stale parts from a
+    differently-batched earlier run cannot survive)."""
     out, entries_by_shard = parse.parse_to_entries(fetch_fn(batch), n_sched)
     if entries_by_shard:
         ray.get([sched[sid].submit_links.remote(entries)
                  for sid, entries in entries_by_shard.items()])
     if sink_dir is not None and out.num_rows:
+        import hashlib
         import os
-        import zlib
 
         import pyarrow.parquet as pq
         os.makedirs(sink_dir, exist_ok=True)
-        tag = zlib.crc32(out["url"][0].as_py().encode("latin-1"))
-        pq.write_table(out, f"{sink_dir}/part-{tag:08x}.parquet")
+        tag = hashlib.md5(
+            out["url"][0].as_py().encode("latin-1")).hexdigest()[:16]
+        pq.write_table(out, f"{sink_dir}/part-{tag}.parquet")
     if not keep_text:
         mask = out["is_robots"]
         text = pc.if_else(mask, out["text"], pa.scalar(b"", pa.binary()))
@@ -265,6 +270,16 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         res.answers.update(manifest["answers"])
         start_tick = manifest["next_tick"]
         seeds = []   # already admitted by the checkpointing run
+    elif out_dir is not None:
+        # fresh run into an existing out_dir: wipe prior sink output so
+        # ticks a shorter rerun never reaches can't leave stale slices
+        # or dup sidecars behind (resume keeps completed ticks' output
+        # and re-clears only the ticks it re-executes)
+        import shutil
+        for _sub in ("pages", "dup_patches"):
+            _p = f"{out_dir}/{_sub}"
+            if _os.path.isdir(_p):
+                shutil.rmtree(_p)
 
     # ---- seeds: straight through check() (global.cxx:284-297) ----
     seed_entries: dict[int, list] = {}
@@ -329,6 +344,18 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
         refs_by_shard = {}
         sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
+        if sink_dir is not None:
+            # rerun over an existing out_dir: clear this tick's slices
+            # (and its dup-status sidecar) so parts from an earlier,
+            # differently-batched run can't survive alongside the fresh
+            # ones.  Resume re-executes whole ticks, so per-tick
+            # clearing composes with checkpoint-granularity resume.
+            if _os.path.isdir(sink_dir):
+                import shutil
+                shutil.rmtree(sink_dir)
+            _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
+            if _os.path.exists(_patch):
+                _os.remove(_patch)
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
@@ -532,6 +559,9 @@ def read_crawl_pages(out_dir: str) -> pa.Table:
 
     import pyarrow.parquet as pq
     files = sorted(glob.glob(f"{out_dir}/pages/tick=*/part-*.parquet"))
+    if not files:
+        # empty sink (crawl fetched nothing, or a fresh/failed out_dir)
+        return pa.table({"url": pa.array([], pa.string())})
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     patches = sorted(glob.glob(f"{out_dir}/dup_patches/tick=*.parquet"))
     if patches:

@@ -398,6 +398,23 @@ def _minhash_candidate_pairs(sf_dir: str, num_hashes: int = 64,
             .map_groups(_emit_bucket_pairs, batch_format="pandas"))
 
 
+def _jaccard_pair_agg(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Shared pair reduce for the posting-list jaccard ops: count
+    |A ∩ B| per (doc_a, doc_b) group (sizes ride on every pair row),
+    filter on the UNROUNDED ratio — the SQL oracles' WHERE applies to
+    the raw expression, so thresholding the 6-dp-rounded value would
+    admit boundary pairs the oracle excludes — then round for output."""
+    g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+        inter=("doc_a", "size"), sz_a=("sz_a", "first"),
+        sz_b=("sz_b", "first"))
+    iv = g["inter"].to_numpy(dtype=np.int64)
+    union = np.maximum(g["sz_a"].to_numpy(dtype=np.int64)
+                       + g["sz_b"].to_numpy(dtype=np.int64) - iv, 1)
+    jac = iv / union
+    g["jaccard"] = np.round(jac, 6)
+    return g.loc[jac >= threshold, ["doc_a", "doc_b", "jaccard"]]
+
+
 def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
                        concurrency: int | None = None) -> rd.Dataset:
     """Candidate pairs with band-match multiplicity: (doc_a < doc_b,
@@ -447,10 +464,10 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
-    # raw pair stream (one row per matching band); uniqueness falls out
-    # of the driver-side unique below — O(candidates), same order as the
-    # broadcast itself, so no band-count reduce shuffle is needed here
-    raw = _minhash_candidate_pairs(sf_dir, **kw).to_pandas()
+    # unique candidate pairs via the distributed band-count reduce —
+    # the driver transfer is O(unique candidates), not O(candidates x
+    # bands) (duplicate-heavy corpora match in every band)
+    raw = minhash_candidates(sf_dir, **kw).to_pandas()
     if raw.empty:
         return empty
     pa_ids = raw["doc_a"].to_numpy(np.int64)
@@ -501,16 +518,6 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
         pos[pos >= len(keys)] = 0
         return out[keys[pos] == k]
 
-    def jaccard_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            inter=("doc_a", "size"), sz_a=("sz_a", "first"),
-            sz_b=("sz_b", "first"))
-        iv = g["inter"].to_numpy(dtype=np.int64)
-        union = np.maximum(g["sz_a"].to_numpy(dtype=np.int64)
-                           + g["sz_b"].to_numpy(dtype=np.int64) - iv, 1)
-        g["jaccard"] = np.round(iv / union, 6)
-        return g.loc[g["jaccard"] >= threshold, ["doc_a", "doc_b", "jaccard"]]
-
     from larbin_ray.pipelines.reduce import hash_reduce
 
     out = hash_reduce(
@@ -518,7 +525,7 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
          .map_batches(cand_postings, batch_format="pandas")
          .groupby("bucket")
          .map_groups(emit_cand_pairs, batch_format="pandas")),
-        ["doc_a", "doc_b"], jaccard_rows,
+        ["doc_a", "doc_b"], lambda df: _jaccard_pair_agg(df, threshold),
         shuffle_buckets(len(need))).to_pandas()
     if out.empty:
         return empty
@@ -606,21 +613,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
 
     from larbin_ray.pipelines.reduce import hash_reduce
 
-    def jaccard_reduce(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            inter=("doc_a", "size"), sz_a=("sz_a", "first"),
-            sz_b=("sz_b", "first"))
-        iv = g["inter"].to_numpy(dtype=np.int64)
-        union = np.maximum(g["sz_a"].to_numpy(dtype=np.int64)
-                           + g["sz_b"].to_numpy(dtype=np.int64) - iv, 1)
-        g["jaccard"] = np.round(iv / union, 6)
-        return g.loc[g["jaccard"] >= threshold,
-                     ["doc_a", "doc_b", "jaccard"]]
-
     pairs = (ds.map_batches(postings, batch_format="pandas")
              .groupby("bucket")
              .map_groups(_emit_gram_pairs, batch_format="pandas"))
-    out = hash_reduce(pairs, ["doc_a", "doc_b"], jaccard_reduce,
+    out = hash_reduce(pairs, ["doc_a", "doc_b"],
+                      lambda df: _jaccard_pair_agg(df, threshold),
                       shuffle_buckets(_doc_rows(sf_dir))).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),

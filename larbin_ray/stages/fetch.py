@@ -43,17 +43,21 @@ def put_pages(pages: pa.Table) -> "ray.ObjectRef":
     ``ChunkedArray.take`` is pathologically slow (measured 250 ms for a
     512-row gather over a 4-chunk 400k-row binary column vs 0.1 ms on
     the combined Array), and combining worker-side would copy the
-    GB-scale html column into every worker heap.  Memoized on table
-    identity (Arrow tables are immutable) so back-to-back crawls of the
-    same web share one object and one per-worker index."""
-    if _PUT_CACHE and _PUT_CACHE[0][0] is pages:
+    GB-scale html column into every worker heap.  Memoized on (table
+    identity, ray job id): Arrow tables are immutable, so back-to-back
+    crawls of the same web in one session share one object and one
+    per-worker index, while a ray.shutdown()/init() cycle (new job id)
+    invalidates the cached ref from the dead cluster."""
+    job_id = ray.get_runtime_context().get_job_id()
+    if (_PUT_CACHE and _PUT_CACHE[0][0] is pages
+            and _PUT_CACHE[0][2] == job_id):
         return _PUT_CACHE[0][1]
     cols = ["url", "html"]
     if "latency_ms" in pages.column_names:
         cols.append("latency_ms")
     ref = ray.put(pages.select(cols).combine_chunks())
     _PUT_CACHE.clear()           # hold one web at a time (frees the old object)
-    _PUT_CACHE.append((pages, ref))
+    _PUT_CACHE.append((pages, ref, job_id))
     return ref
 
 

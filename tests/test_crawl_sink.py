@@ -71,3 +71,39 @@ def test_dup_mode_sink_ray_data_path(ray_session, tmp_path):
                                          else r["status"])
     n_dup = sum(1 for s in sink_status.values() if s == "duplicate")
     assert n_dup == res.answers["duplicate"]
+
+
+def test_sink_rerun_hygiene_and_empty_read(ray_session, tmp_path):
+    """Re-crawling into the same out_dir must not leave stale parts or
+    dup sidecars behind (a shorter rerun wipes prior output at start,
+    each tick clears its own dir), and read_crawl_pages on a sink with
+    no parts returns an empty table instead of raising."""
+    from larbin_ray.pipelines.crawl import ray_crawl, read_crawl_pages
+
+    web = gen_web(60, 6, seed=42)
+    seeds = default_seeds(6)
+    out = str(tmp_path / "sink")
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      num_scheduler_shards=2, num_seen_shards=2)
+    full = ray_crawl(web, seeds, cfg, out_dir=out)
+    assert read_crawl_pages(out).num_rows == len(full.fetched)
+
+    # shorter rerun (limit_page) into the same dir: all output belongs
+    # to the rerun — no stale later-tick parts or sidecars survive
+    cfg_short = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                            num_scheduler_shards=2, num_seen_shards=2,
+                            limit_page=5)
+    short = ray_crawl(web, seeds, cfg_short, out_dir=out)
+    tbl = read_crawl_pages(out)
+    assert tbl.num_rows == len(short.fetched) < len(full.fetched)
+    n_dup = sum(1 for r in short.fetched if r["status"] == "duplicate")
+    assert (tbl.filter(
+        __import__("pyarrow").compute.equal(tbl["status"], "duplicate"))
+        .num_rows == n_dup)
+
+    # identical rerun overwrites its own parts (no duplicated rows)
+    again = ray_crawl(web, seeds, cfg, out_dir=out)
+    assert read_crawl_pages(out).num_rows == len(again.fetched)
+
+    # empty sink dir -> empty table, not ArrowInvalid
+    assert read_crawl_pages(str(tmp_path / "nothing")).num_rows == 0
