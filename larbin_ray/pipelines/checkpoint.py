@@ -31,7 +31,9 @@ import ray
 
 
 def write_checkpoint(ckpt_dir: str, next_tick: int, cfg, sched, seen, dup,
-                     answers: dict, metrics_rows: list[dict]) -> None:
+                     answers: dict, metrics_rows: list[dict],
+                     failures: list[tuple] = (),
+                     max_host_ram: int = 0) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     for sub in ("frontier", "hosts", "seen", "dup"):
         os.makedirs(f"{ckpt_dir}/{sub}", exist_ok=True)
@@ -52,6 +54,11 @@ def write_checkpoint(ckpt_dir: str, next_tick: int, cfg, sched, seen, dup,
     manifest = {
         "next_tick": next_tick,
         "answers": dict(answers),
+        # shard cores restart empty on resume, so the cumulative failure
+        # log and the RAM high-water mark must ride in the manifest or a
+        # resumed crawl silently loses the pre-checkpoint entries
+        "failures": [list(f) for f in failures],
+        "max_host_ram": int(max_host_ram),
         "num_scheduler_shards": len(sched),
         "num_seen_shards": len(seen),
         "page_no_duplicate": dup is not None,
@@ -80,12 +87,10 @@ def _gather_codes(npy_dir: str, old_n: int) -> np.ndarray:
 def restore_checkpoint(ckpt_dir: str, cfg, sched, seen, dup) -> dict:
     """Load a checkpoint into freshly created shard actors (any shard
     counts); returns the manifest."""
-    from larbin_ray.kernels.urlnorm import puny_host
-    from larbin_ray.stages.scheduler import shard_of_host
+    from larbin_ray.stages.scheduler import route_host
 
     def route(h: bytes) -> int:
-        key = puny_host(h) if cfg.punycode else h
-        return shard_of_host(key.decode("latin-1"), len(sched))
+        return route_host(h, len(sched), cfg.punycode)
 
     with open(f"{ckpt_dir}/manifest.json") as f:
         manifest = json.load(f)

@@ -47,7 +47,7 @@ from larbin_ray.pipelines.extract import from_table
 from larbin_ray.stages.fetch import make_fetch_fn, put_pages
 from larbin_ray.stages.parse import ParseExtract
 from larbin_ray.stages.scheduler import (DISPATCH_SCHEMA, SchedulerShard,
-                                         shard_of_host)
+                                         route_host)
 from larbin_ray.stages.seen import BitsetShard, gather_seen_indices
 
 
@@ -57,12 +57,9 @@ def _dispatch_table(rows: list[dict]) -> pa.Table:
                      for n, v in cols.items()})
 
 
-def _route_host(host_b: bytes, n_sched: int, punycode: bool) -> int:
-    """Politeness-key routing; under cfg.punycode the key is the xn--
-    form (matching the scheduler cores' site identity)."""
-    from larbin_ray.kernels.urlnorm import puny_host
-    key = puny_host(host_b) if punycode else host_b
-    return shard_of_host(key.decode("latin-1"), n_sched)
+# routing lives in stages.scheduler.route_host — one implementation for
+# the driver, the parse tasks and checkpoint restore
+_route_host = route_host
 
 
 def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
@@ -78,18 +75,22 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
     (collision odds ~n_batches^2/2^65 per tick; the driver also clears
     each tick's sink dir before dispatch, so stale parts from a
     differently-batched earlier run cannot survive)."""
+    import hashlib
+
     out, entries_by_shard = parse.parse_to_entries(fetch_fn(batch), n_sched)
+    # batch token = first-url hash (unique within a tick: a url is
+    # dispatched at most once per tick) — makes the submit idempotent
+    # when Ray re-executes a died map_batches task (submit_links_once)
+    tag = hashlib.md5(
+        batch["url"][0].as_py().encode("latin-1")).hexdigest()[:16]
     if entries_by_shard:
-        ray.get([sched[sid].submit_links.remote(entries)
+        ray.get([sched[sid].submit_links_once.remote(tag, entries)
                  for sid, entries in entries_by_shard.items()])
     if sink_dir is not None and out.num_rows:
-        import hashlib
         import os
 
         import pyarrow.parquet as pq
         os.makedirs(sink_dir, exist_ok=True)
-        tag = hashlib.md5(
-            out["url"][0].as_py().encode("latin-1")).hexdigest()[:16]
         pq.write_table(out, f"{sink_dir}/part-{tag}.parquet")
     if not keep_text:
         mask = out["is_robots"]
@@ -173,22 +174,20 @@ _ADMIT_T: dict[str, float] = {}   # LARBIN_TICK_DEBUG phase breakdown
 
 def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
                    dup_parents: list[tuple],
-                   robots_by_shard: dict[int, list] | None = None,
-                   refs_by_shard: dict[int, list] | None = None) -> None:
+                   robots_by_shard: dict[int, list] | None = None) -> None:
     """pre_admit -> seen -> enqueue across the shard tiers; the driver
-    moves only key/hash columns.  Robots results and outstanding entry
-    refs ride in the pre_admit RPC (one barrier, not three); the enqueue
-    ack is pipelined — per-actor ordering guarantees the next
-    begin_tick/stats call on a shard observes the enqueue."""
+    moves only key/hash columns.  Robots results ride in the pre_admit
+    RPC (one barrier, not three); the enqueue ack is pipelined —
+    per-actor ordering guarantees the next begin_tick/stats call on a
+    shard observes the enqueue.  (Entry refs themselves arrive mid-wave
+    via prefeed_links, never through this barrier.)"""
     n_seen = cfg.num_seen_shards
     robots_by_shard = robots_by_shard or {}
-    refs_by_shard = refs_by_shard or {}
     import time as _time
     _t0 = _time.time()
     per_shard = ray.get([
         s.pre_admit_links.remote(dup_parents,
-                                 robots_by_shard.get(sid, ()),
-                                 refs_by_shard.get(sid, ()))
+                                 robots_by_shard.get(sid, ()))
         for sid, s in enumerate(sched)])
     _ADMIT_T["pre_admit"] = _ADMIT_T.get("pre_admit", 0.0) + _time.time() - _t0
     _t0 = _time.time()
@@ -264,12 +263,25 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     metrics_rows: list[dict] = []
     start_tick = 0
 
+    base_failures: list[tuple] = []
+    base_host_ram = 0
     if resume:
         from larbin_ray.pipelines.checkpoint import restore_checkpoint
         manifest = restore_checkpoint(checkpoint_dir, cfg, sched, seen, dup)
         res.answers.update(manifest["answers"])
+        base_failures = [tuple(f[:2]) + (tuple(f[2]),)
+                         for f in manifest.get("failures", [])]
+        base_host_ram = manifest.get("max_host_ram", 0)
         start_tick = manifest["next_tick"]
         seeds = []   # already admitted by the checkpointing run
+        # carry the completed ticks' metrics rows forward so the next
+        # checkpoint (and the final write) keeps the full lineage
+        # instead of overwriting metrics.parquet with post-resume rows
+        _mpath = f"{checkpoint_dir}/metrics.parquet"
+        if _os.path.exists(_mpath):
+            import pyarrow.parquet as _pq
+            metrics_rows = [r for r in _pq.read_table(_mpath).to_pylist()
+                            if r["tick"] < start_tick]
     elif out_dir is not None:
         # fresh run into an existing out_dir: wipe prior sink output so
         # ticks a shorter rerun never reaches can't leave stale slices
@@ -342,7 +354,6 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         task_sink = out_dir is not None
         ship_text = keep_text
         used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
-        refs_by_shard = {}
         sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
         if sink_dir is not None:
             # rerun over an existing out_dir: clear this tick's slices
@@ -422,9 +433,11 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             if dup_rows:
                 dup_rows = np.asarray(sorted(dup_rows))
                 status[dup_rows] = "duplicate"
-                ips_np = np.asarray(ctrl["ip"].to_pylist(), dtype=object)
+                # per-index scalar access: cost scales with the tick's
+                # duplicates, not its row count (no full-column pylist)
                 subs_np = ctrl["sub"].to_numpy(zero_copy_only=False)
-                dup_parents = [(ips_np[i], int(subs_np[i])) for i in dup_rows]
+                dup_parents = [(ctrl["ip"][int(i)].as_py(), int(subs_np[i]))
+                               for i in dup_rows]
                 if out_dir is not None:
                     # status-patch sidecar: the distributed task-side sink
                     # wrote this tick's slices with pre-dup statuses (the
@@ -445,16 +458,16 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         res.answers.update(Counter(status[~is_rob].tolist()))
         res.answers.update(Counter(pc.list_flatten(ctrl["stateless_errors"]).to_pylist()))
 
-        # robots bodies -> owning shards
+        # robots bodies -> owning shards (per-index scalar access: the
+        # robots rows are few — no full host/port column materialization)
         rob_idx = np.flatnonzero(is_rob)
         robots_payload: dict[int, list] = {}
-        hosts_col = ctrl["host"].to_pylist()
-        ports_col = ctrl["port"].to_pylist()
         for i in rob_idx:
-            txt = ctrl["text"][int(i)].as_py()
-            sid = _route_host(hosts_col[i].encode("latin-1"), n_sched, cfg.punycode)
+            i = int(i)
+            host_b = ctrl["host"][i].as_py().encode("latin-1")
+            sid = _route_host(host_b, n_sched, cfg.punycode)
             robots_payload.setdefault(sid, []).append(
-                (hosts_col[i].encode("latin-1"), ports_col[i], txt))
+                (host_b, ctrl["port"][i].as_py(), ctrl["text"][i].as_py()))
         _clk("robots_mid", _t0)
         _t0 = _time.time()
 
@@ -474,8 +487,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
 
         _t0 = _time.time()
         _admit_barrier(res, cfg, sched, seen, dup_parents,
-                       robots_by_shard=robots_payload,
-                       refs_by_shard=refs_by_shard)
+                       robots_by_shard=robots_payload)
         _clk("admit", _t0)
 
         metrics_rows.append({
@@ -489,13 +501,19 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 and (tick + 1) % cfg.checkpoint_every == 0):
             from larbin_ray.pipelines.checkpoint import write_checkpoint
 
-            # manifest answers must include the shard-held counters
-            # (noDNS/fastRobots/... live in the scheduler cores)
+            # manifest answers/failures must include the shard-held
+            # state (noDNS/fastRobots/... live in the scheduler cores)
+            # plus anything restored from a prior manifest
             ck_answers = Counter(res.answers)
+            ck_failures = list(base_failures)
+            ck_host_ram = base_host_ram
             for st in ray.get([s.stats.remote() for s in sched]):
                 ck_answers.update(st["answers"])
+                ck_failures.extend(st["failures"])
+                ck_host_ram = max(ck_host_ram, st.get("max_host_ram", 0))
             write_checkpoint(checkpoint_dir, tick + 1, cfg, sched, seen, dup,
-                             ck_answers, metrics_rows)
+                             ck_answers, metrics_rows,
+                             failures=ck_failures, max_host_ram=ck_host_ram)
         if debug:
             print(f"[tick {tick}] rows={tbl.num_rows} " +
                   " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())) +
@@ -529,6 +547,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 "tick": cols["tick"][i], "sub": cols["sub"][i],
                 "status": "robots" if rob else st, "text": txt})
 
+    res.failures.extend(base_failures)       # pre-resume entries first
+    res.max_host_ram = max(res.max_host_ram, base_host_ram)
     for st in ray.get([s.stats.remote() for s in sched]):
         res.answers.update(st["answers"])
         res.failures.extend(st["failures"])

@@ -129,12 +129,10 @@ class ParseExtract:
         cost is the crawl's hot loop; the flagship extract pipeline keeps
         the links column and never builds entries)."""
         from larbin_ray.kernels.textutil import match_priv_ext
-        from larbin_ray.stages.scheduler import shard_of_host
+        from larbin_ray.stages.scheduler import route_host
 
         cfg = self.cfg
         puny = cfg.punycode
-        if puny:
-            from larbin_ray.kernels.urlnorm import puny_host
         urls = batch["url"].to_pylist()
         depths = batch["depth"].to_pylist()
         robots_flags = batch["is_robots"].to_pylist()
@@ -172,8 +170,7 @@ class ParseExtract:
                 host = c.url.host
                 sid = route_cache.get(host)
                 if sid is None:
-                    key = puny_host(host) if puny else host
-                    sid = shard_of_host(key.decode("latin-1"), n_sched)
+                    sid = route_host(host, n_sched, puny)
                     route_cache[host] = sid
                 prio = 0 if (self.priv_exts
                              and match_priv_ext(c.url.file, self.priv_exts)) else 1

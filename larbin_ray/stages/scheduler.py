@@ -9,12 +9,12 @@ registered domain maps to one IP, a shard owns complete politeness
 queues (two hosts sharing an IP can never straddle shards — Larbin's
 IPSite invariant, site.cxx:424-436).
 
-Determinism: same barrier+sort protocol as the seen shards —
-``submit_candidates`` buffers in any arrival order; ``pre_admit``
-sorts by admission key and runs the initOK fast-fails sequentially;
-``enqueue`` receives seen-survivors already sorted.  All dispatch rows
-carry the global (tick, ip, sub) key, so the merged crawl order is
-independent of shard count and CPU count.
+Determinism: barrier + sort — ``submit_links``/``prefeed_links``
+buffer entries in any arrival order; ``pre_admit_links`` sorts by the
+global admission key and runs the initOK fast-fails sequentially;
+``enqueue_verdicts`` admits the seen-survivors in that order.  All
+dispatch rows carry the global (tick, ip, sub) key, so the merged
+crawl order is independent of shard count and CPU count.
 """
 
 from __future__ import annotations
@@ -57,6 +57,17 @@ def shard_of_host(host: str, num_shards: int) -> int:
     return crc % max(num_shards, 1)
 
 
+def route_host(host_b: bytes, num_shards: int, punycode: bool) -> int:
+    """THE shard-routing function: punycode-normalize (site identity
+    under cfg.punycode — url.cxx:474-482) then politeness-key shard.
+    Every router (driver seed/injection path, parse-task candidate
+    routing, checkpoint restore) must call this one helper — the
+    IP-queue-locality invariant breaks if any copy drifts."""
+    from larbin_ray.kernels.urlnorm import puny_host
+    key = puny_host(host_b) if punycode else host_b
+    return shard_of_host(key.decode("latin-1"), num_shards)
+
+
 class SchedulerShardCore:
     """Testable core around a SchedulerCore partition."""
 
@@ -64,24 +75,7 @@ class SchedulerShardCore:
         self.shard_id = shard_id
         self.core = SchedulerCore(cfg)
         self._buffer: list[tuple] = []   # (akey, host, port, file, depth)
-
-    def submit_candidates(self, rows: list[tuple]) -> None:
-        self._buffer.extend(rows)
-
-    def pre_admit(self) -> list[tuple]:
-        """Barrier: sort by akey, run initOK fast-fails; return survivors
-        as (akey, host, port, file, depth, hash)."""
-        self._buffer.sort(key=lambda t: t[0])
-        recs = [UrlRec(h, p, f, d, akey=k, hc=hc)
-                for k, h, p, f, d, hc in self._buffer]
-        survivors = self.core.pre_admit(recs)
-        self._buffer = []
-        return [(r.akey, r.host, r.port, r.file, r.depth, r.hc)
-                for r in survivors]
-
-    def enqueue(self, rows: list[tuple]) -> None:
-        """rows: (akey, host, port, file, depth) sorted by akey."""
-        self.core.enqueue([UrlRec(h, p, f, d, akey=k) for k, h, p, f, d in rows])
+        self._batch_tokens: set[str] = set()   # submit_links_once dedup
 
     # ---- actor-to-actor link flow (no per-candidate driver work) ----
     # Parse tasks push link entries here directly (any arrival order
@@ -99,18 +93,28 @@ class SchedulerShardCore:
         hash, parent_ip, parent_sub, cookie)."""
         self._buffer.extend(entries)
 
+    def submit_links_once(self, token: str, entries: list[tuple]) -> None:
+        """Idempotent variant for the Ray Data tick path: a map_batches
+        task that dies after its submit ack but before its output
+        commits is re-executed by Ray and would double-submit its
+        candidates (inflating urlDup vs the oracle).  The token — the
+        batch's first url hash, unique within a tick — makes the retry
+        a no-op; the token set resets at the tick barrier.  (The
+        micro-tick task path is naturally idempotent: entries travel as
+        task RETURNS, which a re-execution replaces.)"""
+        if token in self._batch_tokens:
+            return
+        self._batch_tokens.add(token)
+        self._buffer.extend(entries)
+
     def submit_links_refs(self, refs: list) -> None:
-        """Pull entry batches from the object store (the fetch+parse
-        tasks return their entries dict as a second task output — no
-        producer ever blocks on this actor).  Each payload is either a
-        {shard_id: entries} dict (task path: every shard receives the
-        same refs and extracts its slice) or a plain entries list."""
+        """Pull entry batches from the object store: each ref is this
+        shard's own entries list, returned by a fetch+parse task as a
+        dedicated per-shard task output — no producer ever blocks on
+        this actor."""
         import ray as _ray
         for payload in _ray.get(refs):
-            if isinstance(payload, dict):
-                self._buffer.extend(payload.get(self.shard_id, ()))
-            else:
-                self._buffer.extend(payload)
+            self._buffer.extend(payload)
 
     def prefeed_links(self, refs: list) -> None:
         """Mid-wave entry delivery: the DRIVER forwards refs of tasks it
@@ -137,27 +141,30 @@ class SchedulerShardCore:
         return robots_rows, page_tbl, self.core.queued_count()
 
     def pre_admit_links(self, dup_parents: list[tuple],
-                        robots_items: list[tuple] = (),
-                        entry_refs: list = ()) -> dict:
-        """Fused tick barrier: apply robots results, pull outstanding
-        entry refs, then sort + fast-fail (fewer RPC round-trips per
-        tick; robots MUST apply before the fast-checks, matching the
-        oracle's end-of-tick order)."""
+                        robots_items: list[tuple] = ()) -> dict:
+        """Fused tick barrier: apply robots results, then sort +
+        fast-fail (fewer RPC round-trips per tick; robots MUST apply
+        before the fast-checks, matching the oracle's end-of-tick
+        order).  Entry refs were already delivered mid-wave by
+        prefeed_links."""
         import numpy as np
 
         if robots_items:
             self.robots_results(list(robots_items))
-        if entry_refs:
-            self.submit_links_refs(list(entry_refs))
         from operator import itemgetter
         dup = set(dup_parents)
         buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
         self._buffer = []
+        self._batch_tokens.clear()
         buf.sort(key=itemgetter(0, 1, 2, 3))
         recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
                        cookie=e[11] if len(e) > 11 else None, hc=e[8])
                 for e in buf]
-        self._survivors = self.core.pre_admit(recs)
+        # parent_sub == -1 marks check()-path submissions (seeds and
+        # input-port injections): they bypass the initOK fast-fails,
+        # matching the oracle's admit(skip_fast=True)
+        skip = [e[10] == -1 for e in buf]
+        self._survivors = self.core.pre_admit(recs, skip)
         # numpy for the numeric key columns (fast pickling + fast driver
         # merge).  The parent ip participates in the global admission
         # sort; encoding it as a 16-byte big-endian int pair PRESERVES

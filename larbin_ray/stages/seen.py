@@ -34,18 +34,6 @@ class BitsetShardCore:
         local = (nbits + num_shards - 1) // num_shards
         local = ((local + 7) // 8) * 8          # whole bytes
         self.bitset = Bitset(local)
-        self._buffer: list[tuple[tuple, int, int]] = []   # (sort_key, seq, code)
-
-    def submit(self, keyed_codes: list[tuple[tuple, int, int]]) -> None:
-        self._buffer.extend(keyed_codes)
-
-    def resolve(self) -> list[tuple[int, bool]]:
-        self._buffer.sort(key=lambda t: t[0])
-        out = [(seq, self.bitset.test_set(code // self.num_shards))
-               for _k, seq, code in self._buffer]
-        self._buffer = []
-        return out
-
     def test_set_sorted(self, codes) -> np.ndarray:
         """Batch testSet in the caller's (admission-sorted) order.
         Vectorized: Bitset.test_set_many keeps first-occurrence-wins

@@ -125,11 +125,16 @@ class SchedulerCore:
             return "fastRobots"
         return None
 
-    def pre_admit(self, recs: list[UrlRec]) -> list[UrlRec]:
-        """recs must arrive sorted by akey; survivors keep that order."""
+    def pre_admit(self, recs: list[UrlRec],
+                  skip: list[bool] | None = None) -> list[UrlRec]:
+        """recs must arrive sorted by akey; survivors keep that order.
+        ``skip[i]`` marks check()-path submissions (seeds / input-port
+        injections, global.cxx:284-297) that bypass the initOK
+        fast-fails — the oracle's ``admit(skip_fast=True)``."""
         out = []
-        for rec in recs:
-            reason = self.fast_check(rec)
+        for i, rec in enumerate(recs):
+            reason = None if (skip is not None and skip[i]) \
+                else self.fast_check(rec)
             if reason is None:
                 out.append(rec)
             else:

@@ -60,6 +60,16 @@ def test_resume_equals_uninterrupted(ray_session, web, tmp_path):
     n_part, st_part = _count_sink(part_out)
     assert n_full == n_part
     assert st_full == st_part
+    # shard cores restart empty on resume: the failure log and RAM
+    # high-water mark must survive through the manifest
+    assert full.failures, "fixture web must produce admission failures"
+    assert sorted(resumed.failures) == sorted(full.failures)
+    assert resumed.max_host_ram == full.max_host_ram
+    # metrics lineage stays continuous across the resume (the final
+    # write must not overwrite the pre-resume tick rows)
+    m = pq.read_table(f"{ck}/metrics.parquet").to_pylist()
+    ticks = [r["tick"] for r in m]
+    assert ticks == sorted(ticks) and ticks[0] == 0 and len(ticks) > 8
 
 
 def test_checkpoint_metrics_lineage(ray_session, web, tmp_path):

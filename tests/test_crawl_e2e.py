@@ -104,6 +104,32 @@ def test_url_injection_matches(ray_session, web, seeds):
     assert injected_urls & fetched_urls
 
 
+def test_injection_into_fast_failable_host_matches(ray_session, web, seeds):
+    """check()-path submissions bypass the initOK fast-fails
+    (global.cxx:284-297; oracle admit(skip_fast=True)) even when the
+    host is already in a fast-failable state: an injected url on a dead
+    host must set its seen bit and take the slow-path failure (noDNS),
+    not fastNoDns — the divergence the skip marker in
+    SchedulerShardCore.pre_admit_links exists to prevent."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2)
+    # by tick 6 the fixture web has already driven nodns.dead.example
+    # and noconn.down.example into error/noconn dns_state
+    inject = {6: ["http://nodns.dead.example/injected.html",
+                  "http://noconn.down.example/injected.html"]}
+    o = oracle_crawl(web, seeds, cfg, inject=inject)
+    e = ray_crawl(web, seeds, cfg, inject=inject)
+    assert_same_crawl(o, e)
+    base = oracle_crawl(web, seeds, cfg)
+    # the injected urls reached the seen set (skip_fast admitted them)
+    assert len(o.seen_indices) == len(base.seen_indices) + 2
+    # and failed through the slow path, not the fast-fail counters
+    assert o.answers.get("fastNoDns", 0) == base.answers.get("fastNoDns", 0)
+    assert o.answers.get("fastNoConn", 0) == base.answers.get("fastNoConn", 0)
+
+
 def test_specific_search_priority_matches(ray_session, web, seeds):
     """specificSearch: privileged-extension urls route via the priority
     queue (checker.cxx:50-56) -> sort first at admission; engine == oracle."""
@@ -374,3 +400,22 @@ def test_limit_time_and_limit_page_parity(ray_session, web, seeds):
     assert_same_crawl(o, e)
     assert o.answers["success"] >= 5
     assert len(o.fetched) < len(full.fetched)
+
+
+def test_ray_data_submit_idempotent_on_retry():
+    """A re-executed Ray Data batch (task died after its submit ack)
+    must not double-submit its candidates: submit_links_once dedupes on
+    the batch token until the tick barrier resets it."""
+    from larbin_ray.stages.scheduler import SchedulerShardCore
+
+    core = SchedulerShardCore(0, CrawlConfig(num_scheduler_shards=1))
+    entry = (1, "10.0.0.1", 0, 0, b"sitea.example", 80, b"/p/1.html",
+             5, 12345, "10.0.0.1", 0, None)
+    core.submit_links_once("tok-a", [entry])
+    core.submit_links_once("tok-a", [entry])      # the retry
+    assert len(core._buffer) == 1
+    core.submit_links_once("tok-b", [entry])      # a different batch
+    assert len(core._buffer) == 2
+    core.pre_admit_links([])                      # tick barrier
+    core.submit_links_once("tok-a", [entry])      # next tick reuses token
+    assert len(core._buffer) == 1
