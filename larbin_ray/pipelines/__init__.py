@@ -35,3 +35,17 @@ def worker_stage(cls, *args):
     if inst is None:
         inst = _WORKER_STAGES[key] = cls(*args)
     return inst
+
+
+def round_half_away(x, decimals: int):
+    """DuckDB / C ``round()`` semantics: round half AWAY from zero.
+
+    numpy/pandas/pyarrow default to banker's rounding (half to even),
+    which diverges from the SQL oracles on exact halves — e.g. a
+    jaccard of k/2^m: np.round(0.0078125, 6) = 0.007812 but DuckDB
+    round() = 0.007813.  Every graded output that rounds must use this
+    helper (or pyarrow round_mode='half_towards_infinity')."""
+    import numpy as np
+    f = 10.0 ** decimals
+    a = np.asarray(x, dtype=np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f

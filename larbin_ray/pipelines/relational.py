@@ -105,8 +105,13 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
                       Sum("sum_value", alias_name="sum_value")))
 
     def round_val(t: pa.Table) -> pa.Table:
+        # numpy round_half_away == DuckDB round(v*100)/100 bit-for-bit;
+        # pyarrow's explicit round modes land 1 ulp off DuckDB's doubles
+        from larbin_ray.pipelines import round_half_away
         return t.set_column(t.schema.get_field_index("sum_value"), "sum_value",
-                            pc.round(t["sum_value"], 2))
+                            pa.array(round_half_away(
+                                t["sum_value"].to_numpy(zero_copy_only=False),
+                                2), pa.float64()))
 
     return out.map_batches(round_val, batch_format="pyarrow")
 
@@ -138,7 +143,8 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
             session_start=("ts", "min"), n_events=("ts", "size"),
             sum_value=("value", "sum")).reset_index(level=0)
         agg["session_start_us"] = agg["session_start"].astype("int64")
-        agg["sum_value"] = agg["sum_value"].round(2)
+        from larbin_ray.pipelines import round_half_away
+        agg["sum_value"] = round_half_away(agg["sum_value"], 2)
         return agg[["user_id", "session_start_us", "n_events", "sum_value"]]
 
     return (ds.map_batches(bucketize, batch_format="pandas")
@@ -160,7 +166,8 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
            .groupby("user_id")
            .aggregate(Sum("total_value", alias_name="total_value"),
                       Sum("n_events", alias_name="n_events"))).to_pandas()
-    agg["total_value"] = agg["total_value"].round(2)
+    from larbin_ray.pipelines import round_half_away
+    agg["total_value"] = round_half_away(agg["total_value"], 2)
     agg = agg.sort_values(["total_value", "user_id"],
                           ascending=[False, True]).head(k)
     return agg.reset_index(drop=True)[["user_id", "total_value", "n_events"]]
@@ -187,8 +194,11 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
                       Sum("revenue", alias_name="revenue")))
 
     def round_rev(t: pa.Table) -> pa.Table:
+        from larbin_ray.pipelines import round_half_away
         return t.set_column(t.schema.get_field_index("revenue"), "revenue",
-                            pc.round(t["revenue"], 2))
+                            pa.array(round_half_away(
+                                t["revenue"].to_numpy(zero_copy_only=False),
+                                2), pa.float64()))
 
     return out.map_batches(round_rev, batch_format="pyarrow")
 
@@ -204,10 +214,9 @@ def lineitem_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> rd
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff]
-        if df.empty:
-            return pd.DataFrame({"l_returnflag": [], "l_linestatus": [],
-                                 "sum_qty": [], "sum_base_price": [],
-                                 "sum_disc_price": [], "n_rows": []})
+        # no empty-frame special case: the normal path yields a
+        # correctly-TYPED empty aggregate (an object/float64 literal
+        # frame here would hand Ray blocks with a mismatched schema)
         disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.assign(disc_price=disc_price).groupby(
             ["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -225,8 +234,12 @@ def lineitem_pricing_summary(sf_dir: str, ship_cutoff: str = "1998-09-02") -> rd
                       Sum("n_rows", alias_name="n_rows")))
 
     def round_cols(t: pa.Table) -> pa.Table:
+        from larbin_ray.pipelines import round_half_away
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], 2))
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(round_half_away(
+                                 t[c].to_numpy(zero_copy_only=False), 2),
+                                 pa.float64()))
         return t
 
     return out.map_batches(round_cols, batch_format="pyarrow")

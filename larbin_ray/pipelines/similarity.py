@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from larbin_ray.pipelines import round_half_away
+
 
 def load_embeddings(sf_dir: str, min_blocks: int | None = None) -> rd.Dataset:
     from larbin_ray.pipelines.relational import _sized_read
@@ -66,7 +68,7 @@ class KnnScorer:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
         m = _normalize(_to_matrix(df["embedding"]))     # (B, D)
-        sims = np.round(self.q @ m.T, 6)                 # (Q, B)
+        sims = round_half_away(self.q @ m.T, 6)          # (Q, B)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
             mask = ids != qid
@@ -79,17 +81,31 @@ class KnnScorer:
                              "sim": np.concatenate(out_s)})
 
 
+def _query_rows(sf_dir: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """The n smallest vec_ids + their embeddings — the SQL oracles pick
+    queries with ORDER BY vec_id LIMIT n, so the engine must too (file
+    row order is NOT contractually sorted even though the current
+    fixture happens to be).  Reads the slim vec_id column to find the
+    cutoff, then only the matching row groups."""
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/embeddings.parquet"
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    want = np.sort(ids)[:n]
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", want.tolist())])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return df["vec_id"].to_numpy(), _to_matrix(df["embedding"])
+
+
 def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10,
                    concurrency: int | None = None) -> pd.DataFrame:
-    """Top-k cosine neighbors of the first ``n_queries`` vectors
+    """Top-k cosine neighbors of the ``n_queries`` smallest vec_ids
     (excluding self).  Per-batch local top-k -> driver merge of the
     tiny Q x k x n_blocks partials."""
     from larbin_ray.pipelines import pool_size
     pool = concurrency or pool_size()
     ds = load_embeddings(sf_dir, min_blocks=pool)
-    head = ds.take(n_queries)
-    qids = np.asarray([r["vec_id"] for r in head])
-    qmat = _to_matrix([r["embedding"] for r in head])
+    qids, qmat = _query_rows(sf_dir, n_queries)
     queries_ref = ray.put((qids, qmat))
 
     scored = ds.map_batches(KnnScorer, fn_constructor_args=(queries_ref, k),
@@ -138,7 +154,7 @@ def _score_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
         keep = ids_a[ii] != ids_b[jj]
     ii, jj = ii[keep], jj[keep]
     a, b = ids_a[ii], ids_b[jj]
-    s = np.round(sims[ii, jj], 6)
+    s = round_half_away(sims[ii, jj], 6)
     swap = a > b
     a2 = np.where(swap, b, a)
     b2 = np.where(swap, a, b)
@@ -236,7 +252,7 @@ def _verify_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
         out.append(pd.DataFrame({
             "id_a": np.where(swap, b, a),
             "id_b": np.where(swap, a, b),
-            "sim": np.round(sims[ia, ib], 6)}))
+            "sim": round_half_away(sims[ia, ib], 6)}))
     if not out:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
@@ -254,13 +270,10 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.7,
     the defaults give >0.99 for cosine >= 0.7.  Deterministic planes
     (fixed seed) so results are stable across runs and workers."""
     from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines.relational import _table_rows
     from larbin_ray.pipelines.textops import shuffle_buckets
 
-    import pyarrow.parquet as pq
-    try:
-        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    except OSError:
-        n_rows = 10_000
+    n_rows = _table_rows(sf_dir, "embeddings")
     n_buckets = shuffle_buckets(n_rows * bands)
     pool = concurrency or pool_size()
 
@@ -332,7 +345,7 @@ class IvfScorer:
             mask = np.isin(assign, self.probe[qi]) & (ids != qid)
             if not mask.any():
                 continue
-            sims = np.round(m[mask] @ self.q[qi], 6)
+            sims = round_half_away(m[mask] @ self.q[qi], 6)
             q_col, n_col, s_col = _topk_rows(qid, ids[mask], sims, self.k)
             out_q.append(q_col)
             out_n.append(n_col)
@@ -360,9 +373,8 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
     sample = ds.take(2048)          # centroid training sample
     smat = _normalize(_to_matrix([r["embedding"] for r in sample]))
     cent = ivf_build_centroids(smat, n_cells)
-    head = sample[:n_queries]
-    qids = np.asarray([r["vec_id"] for r in head])
-    q = _normalize(_to_matrix([r["embedding"] for r in head]))
+    qids, qmat = _query_rows(sf_dir, n_queries)   # ORDER BY vec_id LIMIT n
+    q = _normalize(qmat)
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
     state_ref = ray.put((cent, qids, q, probe))
 

@@ -167,7 +167,10 @@ class QualityScorer:
 
     def __init__(self):
         self.ws = re.compile(r"\s+")
-        self.punct = re.compile(r"[^\w\s]")
+        # explicit ASCII class: the oracle's RE2 '[a-zA-Z0-9_\s]'
+        # (RE2 \s = [\t\n\f\r ]); python's unicode \w would exempt
+        # accented/CJK word chars the oracle counts as punctuation
+        self.punct = re.compile(r"[^a-zA-Z0-9_\t\n\f\r ]")
         self.stop = set(STOPWORDS)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -177,13 +180,17 @@ class QualityScorer:
         stop_ratio = toks.map(
             lambda ws: sum(1 for w in ws if w in self.stop)) / n_tokens
         n_punct = texts.str.count(self.punct)
+        from larbin_ray.pipelines import round_half_away
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "n_tokens": n_tokens.astype("int64"),
-            "stop_ratio": stop_ratio.round(6),
-            "punct_ratio": (n_punct / texts.str.len()).round(6),
-            "mean_token_len": toks.map(
-                lambda ws: sum(map(len, ws)) / max(1, len(ws))).round(6),
+            # rounding must be half-away-from-zero to match the DuckDB
+            # oracles (see pipelines.round_half_away); a zero-length
+            # text yields NaN here exactly like the oracle's x/0 NULL
+            "stop_ratio": round_half_away(stop_ratio, 6),
+            "punct_ratio": round_half_away(n_punct / texts.str.len(), 6),
+            "mean_token_len": round_half_away(toks.map(
+                lambda ws: sum(map(len, ws)) / max(1, len(ws))), 6),
         })
 
 
@@ -411,7 +418,8 @@ def _jaccard_pair_agg(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     union = np.maximum(g["sz_a"].to_numpy(dtype=np.int64)
                        + g["sz_b"].to_numpy(dtype=np.int64) - iv, 1)
     jac = iv / union
-    g["jaccard"] = np.round(jac, 6)
+    from larbin_ray.pipelines import round_half_away
+    g["jaccard"] = round_half_away(jac, 6)
     return g.loc[jac >= threshold, ["doc_a", "doc_b", "jaccard"]]
 
 
@@ -663,11 +671,12 @@ class SimHasher:
 
 
 def simhash_signatures(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
-    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines import pool_size, worker_stage
     pool = concurrency or pool_size()
     ds = load_documents(sf_dir, ["doc_id", "text"], min_blocks=pool)
-    return ds.map_batches(SimHasher, batch_format="pandas",
-                          concurrency=pool, batch_size=512)
+    # cheap setup (one regex) -> worker cache, not an actor pool
+    return ds.map_batches(lambda df: worker_stage(SimHasher)(df),
+                          batch_format="pandas", batch_size=512)
 
 
 def _simhash_chunk_rows(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
@@ -739,6 +748,11 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     out = hash_reduce(pairs, ["doc_a", "doc_b"], dedupe,
                       shuffle_buckets(_doc_rows(sf_dir))).to_pandas()
+    if out.empty:
+        # map_groups over an empty pair stream loses the column schema
+        return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "hamming": pd.array([], dtype="int64")})
     return (out[["doc_a", "doc_b", "hamming"]]
             .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
@@ -772,6 +786,7 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
     ds = load_documents(sf_dir, ["doc_id", "text"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
+        from larbin_ray.pipelines import round_half_away
         t = df["text"].str.strip()
         toks = t.str.split(_WS)
         n = toks.map(len)
@@ -781,7 +796,7 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
             "doc_id": df["doc_id"],
             "h": [_md5_64(x) for x in df["text"]],
             "n_tokens": n.astype("int64"),
-            "stop_ratio": ratio.round(6),
+            "stop_ratio": round_half_away(ratio, 6),
         })
 
     from larbin_ray.pipelines.reduce import hash_reduce
