@@ -28,6 +28,7 @@ of the URL-seen-set invariant):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from larbin_ray.config import CrawlConfig
@@ -39,6 +40,22 @@ _BASE = 1
 
 _SPACES = (0x20, 0x0A, 0x0D, 0x09)
 _TEXT_STOP = (0x20, 0x0A, 0x3E, 0x0D, 0x09, 0)
+
+# Vectorized scanning classes for the fast path.  Byte sets MUST mirror
+# the reference loops exactly (parse_html_ref is the executable spec):
+#   skipText stop  = _TEXT_STOP (0 included: C loop stops at NUL/EOF)
+#   value stop     = quote/space/'>' (+ '?','=','*' when !getCGI); NUL is
+#                    NOT a stop — the C loop copies it into the value.
+_RX_TEXT_STOP = re.compile(rb"[ \n>\r\t\x00]")
+_RX_VAL_STOP_CGI = re.compile(rb"[\"' \n>\r\t]")
+_RX_VAL_STOP_NOCGI = re.compile(rb"[\"' \n>\r\t?=*]")
+# Next '<' the dispatch could act on: immediate '!' (comment check runs
+# before the space skip) or spaces then a candidate tag letter.  A '<'
+# this pattern skips is exactly one the spec falls through ('else:
+# continue') on, so skipping it at C speed is behavior-preserving; 'i'
+# is included even when get_image is off because that dispatch arm also
+# just continues.
+_RX_TAG_OPEN = re.compile(rb"<(?:!|[ \n\r\t]*[aAbBlLfFiI])")
 
 
 def _strchr(buf: bytes, ch: int, start: int) -> int:
@@ -52,9 +69,13 @@ def _strchr(buf: bytes, ch: int, start: int) -> int:
     return idx
 
 
-def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, bytes]]:
+def parse_html_ref(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, bytes]]:
     """Scan a page body; return ``[(action, value_bytes), ...]`` in
-    document order, action in {0: link, 1: base}."""
+    document order, action in {0: link, 1: base}.
+
+    This is the readable per-byte port and the executable SPEC for
+    ``parse_html`` below; tests assert the two agree on adversarial
+    inputs.  Production code calls ``parse_html``."""
     out: list[tuple[int, bytes]] = []
     n = len(body)
 
@@ -172,6 +193,134 @@ def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, b
             return out  # value truncated at EOF: whole parse ends (file.cxx:753)
         if p < end_item and not_cgi(at(p)):
             out.append((action, bytes(value)))
+        p += 1
+    return out
+
+
+def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, bytes]]:
+    """Fast path of :func:`parse_html_ref` — identical output, but the
+    three hot loops run at C speed:
+
+    - ``strchr`` precomputes NUL positions once (the readable version
+      re-scanned for NUL on every call — O(n^2) on NUL-free pages);
+    - inter-word ``skipText`` and the attribute-value copy loop are
+      regex ``search`` over the exact stop classes;
+    - ``at()`` is inlined (bounds-checked indexing, 0 past EOF).
+
+    ``tests/test_extract.py`` property-tests equality with the spec on
+    synthetic pages, random bytes, and adversarial fragments."""
+    if body.find(b"\0") != -1:
+        # NUL bytes re-introduce C strchr stop-at-NUL semantics mid-scan;
+        # rare enough that the readable spec handles them.
+        return parse_html_ref(body, get_image, get_cgi)
+    out: list[tuple[int, bytes]] = []
+    n = len(body)
+    find = body.find
+    rx_val_stop = _RX_VAL_STOP_CGI if get_cgi else _RX_VAL_STOP_NOCGI
+
+    p = 0
+    while True:
+        m_tag = _RX_TAG_OPEN.search(body, p)
+        if m_tag is None:
+            return out
+        p = m_tag.start()
+        if p + 1 < n and body[p + 1] == 0x21:  # '!'
+            if p + 3 < n and body[p + 2] == 0x2D and body[p + 3] == 0x2D:  # '<!--'
+                p += 4
+                # parseComment, file.cxx:621-634
+                while True:
+                    p = find(b"-", p)
+                    if p == -1:
+                        return out
+                    if p + 2 < n and body[p + 1] == 0x2D and body[p + 2] == 0x3E:
+                        p += 3
+                        break
+                    p += 1
+            else:
+                p += 2
+            continue
+        p += 1
+        # ---- parseTag, file.cxx:671-723 ----
+        while p < n and body[p] in _SPACES:
+            p += 1
+
+        c0 = (body[p] | 32) if p < n else 32
+        if c0 == 0x61:  # 'a'
+            param, action = b"href", _LINK
+            p += 1
+        elif c0 == 0x6C:  # 'l'
+            if body[p + 1:p + 4].lower() == b"ink":
+                param, action = b"href", _LINK
+                p += 4
+            else:
+                p += 1
+                continue
+        elif c0 == 0x62:  # 'b'
+            if body[p + 1:p + 4].lower() == b"ase":
+                param, action = b"href", _BASE
+                p += 4
+            else:
+                p += 1
+                continue
+        elif c0 == 0x66:  # 'f'
+            if body[p + 1:p + 5].lower() == b"rame":
+                param, action = b"src", _LINK
+                p += 5
+            else:
+                p += 1
+                continue
+        elif get_image and c0 == 0x69:  # 'i'
+            if body[p + 1:p + 3].lower() == b"mg":
+                param, action = b"src", _LINK
+                p += 3
+            else:
+                p += 1
+                continue
+        else:
+            continue
+
+        # find the parameter
+        while p < n and body[p] in _SPACES:
+            p += 1
+        found = False
+        plen = len(param)
+        while True:
+            i = 0
+            while i < plen and param[i] == ((body[p + i] | 32) if p + i < n else 32):
+                i += 1
+            p += i
+            while p < n and body[p] in _SPACES:
+                p += 1
+            look = body[p + i] if p + i < n else 0  # posParse[i] lookahead quirk
+            if look == 0x3E or look == 0:
+                break
+            if i == plen:
+                found = True
+                break
+            # nextWord(): skipText + skipSpace
+            m = _RX_TEXT_STOP.search(body, p)
+            p = m.start() if m is not None else n
+            while p < n and body[p] in _SPACES:
+                p += 1
+        if not found:
+            continue
+
+        # ---- parseContent, file.cxx:726-798 ----
+        p += 1
+        while p < n and (body[p] == 0x20 or body[p] == 0x3D):  # ' ' '='
+            p += 1
+        if p < n and (body[p] == 0x22 or body[p] == 0x27):  # '"' '\''
+            p += 1
+        area = p
+        end_item = min(area + 1024, n)  # maxUrlSize
+        m = rx_val_stop.search(body, p, end_item)
+        p = m.start() if m is not None else end_item
+        if p == n:
+            return out  # value truncated at EOF: whole parse ends (file.cxx:753)
+        if p < end_item:
+            c = body[p]
+            if get_cgi or (c != 0x3F and c != 0x3D and c != 0x2A):
+                out.append((action, body[area:p].replace(b"\\", b"/")))
         p += 1
     return out
 

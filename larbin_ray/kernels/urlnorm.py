@@ -26,6 +26,7 @@ reproduce two's-complement behavior explicitly).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from larbin_ray.config import HASH_SIZE, MAX_SITE_SIZE, MAX_URL_SIZE, NAMED_SITE_LIST_SIZE
@@ -35,6 +36,9 @@ _DOT = 0x2E
 _HASH = 0x23
 _PERCENT = 0x25
 _COLON = 0x3A
+
+_RX_FN_SPECIAL = re.compile(rb"[%#\x00]|/[/.]")
+_RX_HOST_END = re.compile(rb"[/:]")
 
 
 def _hex_to_int(c: int) -> int:
@@ -64,6 +68,12 @@ def file_normalize(file: bytes) -> bytes | None:
     - a decoded char is skipped, never re-examined (no double decoding,
       and a decoded ``/`` does not participate in ``//`` collapsing).
     """
+    # Fast path: the loop below only rewrites/rejects when it sees '%',
+    # '#', NUL, or '/' followed by '/' or '.'; absent all of those the
+    # input comes back unchanged ('/.x' is a harmless false positive
+    # that just takes the slow path).
+    if _RX_FN_SPECIAL.search(file) is None:
+        return file
     buf = bytearray(file)
 
     def at(j: int) -> int:
@@ -129,7 +139,7 @@ def normalize_file(file: bytes) -> bytes | None:
     f = file_normalize(file)
     if f is None:
         return None
-    if not any(b >= 0x80 for b in f):
+    if f.isascii():
         return f
     out = bytearray()
     for b in f:
@@ -148,7 +158,7 @@ def lower_case(b: int) -> int:
 
 
 def _lower_bytes(s: bytes) -> bytes:
-    return bytes(lower_case(b) for b in s)
+    return s.lower()  # bytes.lower() is ASCII A-Z only == text.cxx:33-39
 
 
 def is_protocol(u: bytes) -> bool:
@@ -254,9 +264,8 @@ def site_hash_code(host: bytes) -> int:
 
 def _parse_absolute(arg: bytes, depth: int) -> Url:
     """url.cxx:488-529 (after ``http://`` has been stripped)."""
-    fin = 0
-    while fin < len(arg) and arg[fin] != _SLASH and arg[fin] != _COLON:
-        fin += 1
+    m = _RX_HOST_END.search(arg)
+    fin = m.start() if m is not None else len(arg)
     if fin == 0:
         return Url(None, 80, None, depth)
     host = _lower_bytes(arg[:fin])

@@ -81,3 +81,30 @@ def test_robots_match_prefix_consistency(pattern, path):
     """A starless pattern matches iff it is a byte prefix of the path."""
     if b"*" not in pattern:
         assert robots_match(pattern, path) == path.startswith(pattern)
+
+
+_HTML_ALPHABET = b'<>!-= "\'\\?*aAbBlLfFiImMgGhrefsrcnk\x00\n\r\t/x.%'
+_htmlish = st.lists(
+    st.sampled_from(_HTML_ALPHABET), min_size=0, max_size=200).map(bytes)
+
+
+@given(_htmlish, st.booleans(), st.booleans())
+@settings(max_examples=500, deadline=None)
+def test_parse_html_fast_equals_spec(body, get_image, get_cgi):
+    """The regex-accelerated parse_html is byte-identical to the
+    per-byte reference port on arbitrary tag soup (incl. NULs,
+    comments, truncated values, quote/CGI stops)."""
+    from larbin_ray.kernels.extract import parse_html, parse_html_ref
+    assert parse_html(body, get_image, get_cgi) == \
+        parse_html_ref(body, get_image, get_cgi)
+
+
+@given(_pathish)
+@settings(max_examples=400, deadline=None)
+def test_file_normalize_fast_path_consistent(path):
+    """The _RX_FN_SPECIAL fast path returns the input unchanged exactly
+    when the full loop would."""
+    out = file_normalize(path)
+    from larbin_ray.kernels.urlnorm import _RX_FN_SPECIAL
+    if _RX_FN_SPECIAL.search(path) is None:
+        assert out == path
