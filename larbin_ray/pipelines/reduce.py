@@ -47,3 +47,55 @@ def hash_reduce(ds: rd.Dataset, keys: list[str], agg, n_buckets: int) -> rd.Data
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def task_parquet_exchange(path: str, columns: list[str], map_fn,
+                          bucket_col: str, n_buckets: int, reduce_fn,
+                          n_inputs: int | None = None) -> pd.DataFrame:
+    """Small-corpus hash exchange on plain Ray tasks.
+
+    Below ~10k-row shuffles, a Ray Data ``groupby(bucket).map_groups``
+    pays ~0.5-1 s of fixed sort/stage cost per exchange (measured, see
+    module docstring and MEMORY traps).  This runs the same bucketed
+    data flow with raw tasks: ``n_inputs`` map tasks each read a slice
+    of the parquet file, apply ``map_fn(df) -> df`` (which must attach
+    ``bucket_col`` with values in [0, n_buckets)), and return one object
+    per bucket; ``n_buckets`` reduce tasks apply ``reduce_fn`` over
+    their bucket's concatenated rows; the driver concatenates the
+    reduce outputs (bounded: callers use this path only under a
+    documented corpus-size threshold — the Ray Data pipeline remains
+    the scale path and tests assert both paths agree).
+
+    Each map task re-reads the (small) file and slices rows
+    ``[i*n/k, (i+1)*n/k)`` — no driver-side materialization of the
+    input, no shared state."""
+    import ray
+
+    if n_inputs is None:
+        from larbin_ray.pipelines import pool_size
+        n_inputs = max(2, pool_size(frac=0.5, cap=16))
+
+    @ray.remote
+    def map_split(i: int):
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=columns)
+        n = t.num_rows
+        lo, hi = i * n // n_inputs, (i + 1) * n // n_inputs
+        out = map_fn(t.slice(lo, hi - lo).to_pandas())
+        if n_buckets == 1:
+            return out
+        b = out[bucket_col].to_numpy()
+        return tuple(out[b == j] for j in range(n_buckets))
+
+    @ray.remote
+    def reduce_bucket(*parts):
+        return reduce_fn(pd.concat(parts, ignore_index=True))
+
+    parts = [map_split.options(num_returns=n_buckets).remote(i)
+             for i in range(n_inputs)]
+    if n_buckets == 1:
+        parts = [[p] for p in parts]
+    outs = ray.get([reduce_bucket.remote(*[parts[i][b]
+                                           for i in range(n_inputs)])
+                    for b in range(n_buckets)])
+    return pd.concat(outs, ignore_index=True)

