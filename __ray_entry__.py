@@ -262,6 +262,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        # Karp-Rabin min-window sketch recomputed exactly: token hash is
+        # md5-low-32 (('0x'||substr(md5(w),1,8))::UBIGINT, verified
+        # byte-identical to the engine's int(md5(w).hexdigest()[:8],16)),
+        # window hash is the degree-7 polynomial in B=1000003 mod 2^61-1
+        # with the 8 power constants inlined; HUGEINT keeps the 2^93
+        # products exact, < 8 tokens degrades to min token hash like the
+        # engine (larbin_ray/pipelines/textops.py rolling_fingerprint)
+        "rolling_fingerprint": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                         regexp_split_to_array({_SQL_STRIP.format('text')},
+                                               '\\s+'),
+                         w -> ('0x' || substr(md5(w), 1, 8))::UBIGINT) AS hs
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN len(hs) < 8
+                        THEN coalesce(list_min(hs), 0)
+                        ELSE list_min([CAST(
+                            (hs[i]::HUGEINT   * 1501076012712181523::HUGEINT +
+                             hs[i+1]::HUGEINT * 2133831443680070909::HUGEINT +
+                             hs[i+2]::HUGEINT * 618155284961614297::HUGEINT +
+                             hs[i+3]::HUGEINT * 168760150033166695::HUGEINT +
+                             hs[i+4]::HUGEINT * 1000009000027000027::HUGEINT +
+                             hs[i+5]::HUGEINT * 1000006000009::HUGEINT +
+                             hs[i+6]::HUGEINT * 1000003::HUGEINT +
+                             hs[i+7]::HUGEINT)
+                            % 2305843009213693951::HUGEINT AS UBIGINT)
+                            FOR i IN generate_series(1, len(hs) - 7)])
+                        END AS BIGINT) AS min_rhash
+            FROM toks
+        """,
         "curate_documents": f"""
             WITH scored AS (
                 SELECT doc_id, text,

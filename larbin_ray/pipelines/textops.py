@@ -21,6 +21,11 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+# Python \s also matches \x0b, \x1c-\x1f and Unicode whitespace, which
+# RE2 (the SQL oracles' \s = [\t\n\f\r ]) does not.  The oracle equality
+# contract therefore requires corpus texts to stay inside the shared
+# class — tests/test_textops.py::test_fixture_whitespace_class asserts
+# it for the shipped fixtures.
 _WS = re.compile(r"\s+")
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -219,8 +224,11 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
 
 def rolling_fingerprint(sf_dir: str, window: int = 8) -> rd.Dataset:
     """Karp-Rabin rolling-hash document sketch: min rolling hash over
-    token windows (engine-only; no SQL equivalent).  Useful as a cheap
-    containment fingerprint."""
+    token windows.  Useful as a cheap containment fingerprint.
+
+    Token hash is md5-low-32 (not crc32) so the whole sketch is
+    SQL-expressible: the DuckDB oracle recomputes the identical windowed
+    polynomial with HUGEINT arithmetic (see __ray_entry__.oracle_sql)."""
     ds = load_documents(sf_dir, ["doc_id", "text"])
     B, M = 1_000_003, (1 << 61) - 1
 
@@ -228,7 +236,8 @@ def rolling_fingerprint(sf_dir: str, window: int = 8) -> rd.Dataset:
         out = []
         for t in df["text"]:
             toks = _WS.split(t.strip())
-            hs = [zlib.crc32(w.encode()) for w in toks]
+            hs = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                  for w in toks]
             if len(hs) < window:
                 out.append(min(hs) if hs else 0)
                 continue

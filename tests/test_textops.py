@@ -244,3 +244,21 @@ def test_minhash_task_and_data_paths_agree(ray_session):
         t = minhash_dedup(SF, num_hashes=nh, bands=b, force_path="tasks")
         d = minhash_dedup(SF, num_hashes=nh, bands=b, force_path="data")
         assert t.equals(d), (nh, b, len(t), len(d))
+
+
+def test_fixture_whitespace_class():
+    """Engine tokenizers use Python \\s (also matches \\x0b, \\x1c-\\x1f,
+    Unicode spaces); the SQL oracles use RE2 \\s = [\\t\\n\\f\\r ].  The
+    value-exact claims hold because fixture texts stay inside the shared
+    class -- assert that, so a fixture change fails here instead of as a
+    silent oracle divergence."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    exotic = re.compile("[\x0b\x1c-\x1f\x85\xa0\u2000-\u200a\u2028"
+                        "\u2029\u202f\u205f\u3000\u1680]")
+    for sf in ("0.001", "0.01", "0.1"):
+        texts = pq.read_table(f"/root/testdata/sf{sf}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        assert not any(exotic.search(t) for t in texts), sf
