@@ -828,8 +828,16 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # composite curation pipeline
 
 
+# Above this many documents (an upper bound on distinct texts, read
+# from the parquet footer) the keeper decision switches from the
+# sorted-id-array broadcast to a bucketed cogroup on h — no structure
+# proportional to distinct-key cardinality anywhere.
+CURATE_BROADCAST_MAX_KEYS = 5_000_000
+
+
 def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
-                     min_stop_ratio: float = 0.0) -> pd.DataFrame:
+                     min_stop_ratio: float = 0.0,
+                     force_path: str | None = None) -> pd.DataFrame:
     """Training-data curation composite: keep a document iff it is the
     exact-dedup keeper (min doc_id of its text group) AND its token count
     is within [min_tokens, max_tokens] AND its stopword ratio clears the
@@ -840,16 +848,25 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
     SQL oracle: join of the GROUP BY text keeper subquery with the same
     token/stopword expressions.
 
-    Distributed shape: the scored table (slim int/float columns — text
-    never leaves the map stage) is materialized in the object store; the
-    keeper set comes from a Ray ``groupby(h).aggregate(Min)`` reduce and
-    is broadcast (``ray.put`` of a sorted id array — the keeper-id side
-    is one int per distinct text, the classic small side of a broadcast
-    join; at extreme cardinality this becomes a bucketed cogroup on h);
-    the final keep-filter runs vectorized per batch."""
+    Distributed shape, two paths behind CURATE_BROADCAST_MAX_KEYS
+    (``force_path`` in {"broadcast", "cogroup"} pins one for tests):
+
+    - broadcast (default at moderate cardinality): the scored table
+      (slim int/float columns — text never leaves the map stage) is
+      materialized in the object store; the keeper set comes from a
+      bucketed min-reduce and is broadcast as a sorted id array (one
+      int per distinct text); the keep-filter runs vectorized per batch
+      with no second shuffle of the scored rows.
+    - cogroup (the scale path): ONE bucketed shuffle of the scored rows
+      on h; each bucket holds every row of its text groups, so keeper =
+      (doc_id == group min) and the quality filter apply in-bucket.  No
+      broadcast, no driver- or object-store-resident keeper set."""
     import ray
 
     ds = load_documents(sf_dir, ["doc_id", "text"])
+    n_docs = _doc_rows(sf_dir)
+    use_cogroup = (force_path == "cogroup" or
+                   (force_path is None and n_docs > CURATE_BROADCAST_MAX_KEYS))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         from larbin_ray.pipelines import round_half_away
@@ -867,11 +884,29 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
 
     from larbin_ray.pipelines.reduce import hash_reduce
 
+    def _finish(kept: pd.DataFrame) -> pd.DataFrame:
+        out = kept[["doc_id", "n_tokens", "stop_ratio"]].copy()
+        out["keep_reason"] = "keeper+quality"
+        return out
+
+    if use_cogroup:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            kmin = df.groupby("h")["doc_id"].transform("min")
+            return _finish(df[(df["doc_id"] == kmin)
+                              & (df["n_tokens"] >= min_tokens)
+                              & (df["n_tokens"] <= max_tokens)
+                              & (df["stop_ratio"] >= min_stop_ratio)])
+
+        out = hash_reduce(ds.map_batches(score, batch_format="pandas"),
+                          ["h"], per_bucket,
+                          shuffle_buckets(n_docs)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     scored = ds.map_batches(score, batch_format="pandas").materialize()
     keepers = hash_reduce(
         scored, ["h"],
         lambda df: df.groupby("h", as_index=False).agg(keeper=("doc_id", "min")),
-        shuffle_buckets(_doc_rows(sf_dir))).to_pandas()["keeper"].to_numpy()
+        shuffle_buckets(n_docs)).to_pandas()["keeper"].to_numpy()
     keeper_ref = ray.put(np.sort(keepers))
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
@@ -880,13 +915,10 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
         pos = np.searchsorted(kset, ids)
         pos[pos >= len(kset)] = 0
         is_keeper = kset[pos] == ids
-        kept = df[is_keeper
-                  & (df["n_tokens"] >= min_tokens)
-                  & (df["n_tokens"] <= max_tokens)
-                  & (df["stop_ratio"] >= min_stop_ratio)]
-        out = kept[["doc_id", "n_tokens", "stop_ratio"]].copy()
-        out["keep_reason"] = "keeper+quality"
-        return out
+        return _finish(df[is_keeper
+                          & (df["n_tokens"] >= min_tokens)
+                          & (df["n_tokens"] <= max_tokens)
+                          & (df["stop_ratio"] >= min_stop_ratio)])
 
     out = scored.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -262,3 +262,13 @@ def test_fixture_whitespace_class():
         texts = pq.read_table(f"/root/testdata/sf{sf}/documents.parquet",
                               columns=["text"])["text"].to_pylist()
         assert not any(exotic.search(t) for t in texts), sf
+
+
+def test_curate_paths_agree(ray_session):
+    """Broadcast keeper filter and bucketed cogroup produce identical
+    curated output."""
+    from larbin_ray.pipelines.textops import curate_documents
+
+    a = curate_documents(SF, force_path="broadcast")
+    b = curate_documents(SF, force_path="cogroup")
+    assert a.equals(b), (len(a), len(b))
