@@ -246,6 +246,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
     phase_t: dict[str, float] = {}
+    _ADMIT_T.clear()   # per-run accumulator (else totals bleed across crawls)
 
     def _clk(name, t0):
         phase_t[name] = phase_t.get(name, 0.0) + _time.time() - t0
@@ -412,13 +413,19 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         ctrl = ctrl.sort_by([("tick", "ascending"), ("ip", "ascending"),
                              ("is_robots", "descending"), ("sub", "ascending")])
         is_rob = ctrl["is_robots"].to_numpy(zero_copy_only=False)
-        status = np.asarray(ctrl["status"].to_pylist(), dtype=object)
+        # statuses stay dictionary-encoded on the driver: int codes +
+        # an O(unique) value list — never an O(rows) python list
+        _enc = ctrl["status"].combine_chunks().dictionary_encode()
+        st_codes = _enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        status_vals = _enc.dictionary.to_pylist()
+        code_of = {s: i for i, s in enumerate(status_vals)}
         _clk("ctrl_sort", _t0)
 
         # content-dup resolution in global fetch order (file.cxx:583-588)
         dup_parents: list[tuple] = []
         if dup is not None:
-            succ_idx = np.flatnonzero((status == "success") & ~is_rob)
+            succ_idx = np.flatnonzero(
+                (st_codes == code_of.get("success", -1)) & ~is_rob)
             codes = ctrl["content_hash"].to_numpy(zero_copy_only=False)[succ_idx]
             dmod = codes % n_seen
             d_futs, d_sel = [], []
@@ -432,7 +439,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 dup_rows.extend(succ_idx[sel[~np.asarray(verdicts, dtype=bool)]])
             if dup_rows:
                 dup_rows = np.asarray(sorted(dup_rows))
-                status[dup_rows] = "duplicate"
+                dup_code = code_of.get("duplicate")
+                if dup_code is None:
+                    dup_code = len(status_vals)
+                    status_vals.append("duplicate")
+                    code_of["duplicate"] = dup_code
+                st_codes[dup_rows] = dup_code
                 # per-index scalar access: cost scales with the tick's
                 # duplicates, not its row count (no full-column pylist)
                 subs_np = ctrl["sub"].to_numpy(zero_copy_only=False)
@@ -455,7 +467,10 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
 
         _t0 = _time.time()
         # answers: fetch statuses + stateless extraction errors
-        res.answers.update(Counter(status[~is_rob].tolist()))
+        # (bincount over int codes; python work is O(unique statuses))
+        _cnt = np.bincount(st_codes[~is_rob], minlength=len(status_vals))
+        res.answers.update({status_vals[i]: int(c)
+                            for i, c in enumerate(_cnt) if c})
         res.answers.update(Counter(pc.list_flatten(ctrl["stateless_errors"]).to_pylist()))
 
         # robots bodies -> owning shards (per-index scalar access: the
@@ -471,9 +486,11 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("robots_mid", _t0)
         _t0 = _time.time()
 
-        # record result meta (tables; dicts are built once at the end)
+        # record result meta (tables; dicts are built once at the end);
+        # decode = one C-speed take of the tiny dictionary by the codes
         meta = ctrl.set_column(ctrl.schema.get_field_index("status"), "status",
-                               pa.array(status.tolist(), pa.string()))
+                               pc.take(pa.array(status_vals, pa.string()),
+                                       pa.array(st_codes, pa.int64())))
         meta = meta.drop_columns(["stateless_errors", "interesting"])
         if out_dir is not None:
             meta = meta.drop_columns(["text"])
