@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="restore from --checkpoint and continue")
     p.add_argument("--max-ticks", type=int, default=None)
+    p.add_argument("--watch-file", default=None,
+                   help="live URL-submission file (the reference TCP input "
+                        "port as a watched seed file: 'priority:P depth:D "
+                        "test:T' header lines followed by URLs; appended "
+                        "lines are drained at every tick start)")
     p.add_argument("--stats-report", action="store_true",
                    help="print the printStats-style text report at the end "
                         "(needs --checkpoint: the report reads the metrics "
@@ -67,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     res = ray_crawl_from_conf(
         pages, args.conf, out_dir=args.out, build_rows=False,
         checkpoint_dir=args.checkpoint, resume=args.resume,
-        max_ticks=args.max_ticks)
+        max_ticks=args.max_ticks, watch_file=args.watch_file)
     wall = time.time() - t0
 
     if args.stats_report and args.checkpoint:

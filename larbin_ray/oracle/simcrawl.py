@@ -106,11 +106,26 @@ def oracle_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = No
         # ends before the first tick whose start time reaches the limit.
         if cfg.limit_time and tick * max(cfg.wait_duration, 1) >= cfg.limit_time:
             break
-        for i, s_url in enumerate((inject or {}).get(tick, [])):
-            u = parse_url(s_url.encode("latin-1"), cfg.depth_in_site, None)
-            if u.is_valid():
-                admit(UrlRec(u.host, u.port, u.file, u.depth,
-                             akey=(tick, -2, "", 0, 0, i)), skip_fast=True)
+        for i, item in enumerate((inject or {}).get(tick, [])):
+            # item: url string (legacy: check()-path, test=1) or a
+            # (url, depth, prio, test) tuple — the input-port header
+            # semantics (io/input.cxx:111-160); test=False is the
+            # "set without test" branch: mark seen unconditionally and
+            # enqueue with no admission verdict
+            if isinstance(item, str):
+                s_url, depth, test = item, cfg.depth_in_site, True
+            else:
+                s_url, depth, _prio, test = item
+            u = parse_url(s_url.encode("latin-1"), depth, None)
+            if not u.is_valid():
+                continue
+            rec = UrlRec(u.host, u.port, u.file, u.depth,
+                         akey=(tick, -2, "", 0, 0, i))
+            if test:
+                admit(rec, skip_fast=True)
+            else:
+                seen.test_set(u.hash_code())    # seen->set, verdict ignored
+                core.enqueue([rec])
         robots_rows = core.resolve_new_hosts(tick)
         page_rows = core.dispatch(tick)
         if not robots_rows and not page_rows:

@@ -143,7 +143,9 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
               out_dir: str | None = None, max_ticks: int | None = None,
               build_rows: bool = True, checkpoint_dir: str | None = None,
               resume: bool = False,
-              inject: dict[int, list[str]] | None = None) -> CrawlResult:
+              inject: dict[int, list[str]] | None = None,
+              watch_file: str | None = None,
+              watch_feed: dict[int, str] | None = None) -> CrawlResult:
     """Run the full crawl; returns the same result shape as the oracle.
 
     ``build_rows=False`` skips materializing ``res.fetched`` row dicts
@@ -152,7 +154,16 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
     checkpoints (frontier/hosts/seen partitions + metrics + manifest);
     ``resume=True`` restores from ``checkpoint_dir`` and continues —
     seeds are not re-admitted, shard counts may differ from the
-    checkpointing run."""
+    checkpointing run.
+
+    ``watch_file`` names a live URL-submission file (the reference's
+    TCP input port, io/input.cxx:60-187, as a watched seed file —
+    ``priority:P depth:D test:T`` header lines followed by URLs, see
+    larbin_ray.sources.submit): newly appended complete lines are
+    drained at every tick start.  ``watch_feed`` maps tick -> text the
+    engine itself appends to the file before draining that tick — the
+    deterministic harness for exercising mid-crawl submissions in
+    tests; production writers simply append to the file at will."""
     cfg = cfg or CrawlConfig()
     max_ticks = max_ticks or cfg.max_ticks
 
@@ -163,7 +174,8 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
            for i in range(cfg.num_seen_shards)] if cfg.page_no_duplicate else None
     try:
         return _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen,
-                          dup, build_rows, checkpoint_dir, resume, inject)
+                          dup, build_rows, checkpoint_dir, resume, inject,
+                          watch_file, watch_feed)
     finally:
         for a in sched + seen + (dup or []):
             ray.kill(a)
@@ -240,13 +252,63 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     _ADMIT_T["verdicts"] = _ADMIT_T.get("verdicts", 0.0) + _time.time() - _t0
 
 
+def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen) -> None:
+    """Process watched-file submissions in file order: consecutive
+    same-(test, priority) runs form one admission group — a group's
+    admission lexsort reduces to submission order when prio is uniform,
+    so group-at-a-time equals the reference's sequential line loop.
+    test=1 groups run the normal check()-path barrier; test=0 groups
+    set the seen bits unconditionally and enqueue with no verdict
+    (io/input.cxx:152-159 "set without test")."""
+    i0 = 0
+    while i0 < len(subs):
+        key = (subs[i0].test, subs[i0].prio)
+        grp = []
+        j = i0
+        while j < len(subs) and (subs[j].test, subs[j].prio) == key:
+            grp.append(subs[j])
+            j += 1
+        i0 = j
+        entries_by_shard: dict[int, list] = {}
+        hcs = []
+        for i, sub in enumerate(grp):
+            u = parse_url(sub.url.encode("latin-1"), sub.depth, None)
+            if not u.is_valid():
+                continue
+            sid = _route_host(u.host, n_sched, cfg.punycode)
+            entries_by_shard.setdefault(sid, []).append(
+                (sub.prio, "", 0, i, u.host, u.port, u.file, u.depth,
+                 u.hash_code(), "", -1, None))
+            hcs.append(u.hash_code())
+        if not entries_by_shard:
+            continue
+        if key[0]:      # test=1: the check()-path admission barrier
+            ray.get([sched[sid].submit_links.remote(e)
+                     for sid, e in entries_by_shard.items()])
+            _admit_barrier(res, cfg, sched, seen, [])
+        else:           # test=0: set without test + forced enqueue
+            codes = np.asarray(hcs, dtype=np.int64)
+            mod = codes % n_seen
+            futs = [seen[ssid].set_sorted.remote(codes[mod == ssid])
+                    for ssid in range(n_seen) if bool((mod == ssid).any())]
+            futs += [sched[sid].submit_forced.remote(e)
+                     for sid, e in entries_by_shard.items()]
+            ray.get(futs)
+
+
 def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
-               build_rows=True, checkpoint_dir=None, resume=False, inject=None):
+               build_rows=True, checkpoint_dir=None, resume=False, inject=None,
+               watch_file=None, watch_feed=None):
     import os as _os
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
     phase_t: dict[str, float] = {}
     _ADMIT_T.clear()   # per-run accumulator (else totals bleed across crawls)
+    watcher = None
+    if watch_file is not None:
+        from larbin_ray.sources.submit import SubmissionWatcher
+        open(watch_file, "a").close()   # surface exists from tick 0
+        watcher = SubmissionWatcher(watch_file)
 
     def _clk(name, t0):
         phase_t[name] = phase_t.get(name, 0.0) + _time.time() - t0
@@ -314,6 +376,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         # expression as the oracle (limit_time.cxx:40 semantics)
         if cfg.limit_time and tick * max(cfg.wait_duration, 1) >= cfg.limit_time:
             break
+        if watcher is not None:
+            if watch_feed and tick in watch_feed:
+                with open(watch_file, "a") as _wf:
+                    _wf.write(watch_feed[tick])
+            _drain_submissions(watcher.drain(), res, cfg, sched, seen,
+                               n_sched, n_seen)
         injected = (inject or {}).get(tick, [])
         if injected:
             # S2 input-port equivalent: submissions run straight through
@@ -336,7 +404,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         n_pages_tick = sum(b[1].num_rows for b in begins)
         queued = sum(b[2] for b in begins)
         if not robots_rows and n_pages_tick == 0:
-            if queued == 0 and not any(t > tick for t in (inject or {})):
+            if (queued == 0 and not any(t > tick for t in (inject or {}))
+                    and not any(t > tick for t in (watch_feed or {}))):
                 break
             continue
 

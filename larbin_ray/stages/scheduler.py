@@ -93,6 +93,18 @@ class SchedulerShardCore:
         hash, parent_ip, parent_sub, cookie)."""
         self._buffer.extend(entries)
 
+    def submit_forced(self, entries: list[tuple]) -> int:
+        """test=0 input-port submissions (io/input.cxx:152-159): no
+        seen test, no fast-fail — straight to the site queues in
+        submission order.  The caller sets the seen bits
+        unconditionally in parallel (seen shards ``set_sorted``)."""
+        recs = [UrlRec(e[4], e[5], e[6], e[7],
+                       akey=(e[0], e[1], e[2], e[3]),
+                       cookie=e[11] if len(e) > 11 else None, hc=e[8])
+                for e in entries]
+        self.core.enqueue(recs)
+        return len(recs)
+
     def submit_links_once(self, token: str, entries: list[tuple]) -> None:
         """Idempotent variant for the Ray Data tick path: a map_batches
         task that dies after its submit ack but before its output

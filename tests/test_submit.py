@@ -1,0 +1,99 @@
+"""Live URL-submission surface (watched seed file — the reference TCP
+input port, io/input.cxx:60-187): header parsing, partial-line
+buffering, and mid-crawl submission parity vs the inject= path and the
+oracle, including test=0 set-without-test semantics."""
+
+import pytest
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.oracle.simcrawl import oracle_crawl
+from larbin_ray.sources.submit import SubmissionWatcher
+from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def web():
+    return gen_web(60, 6, seed=42)
+
+
+@pytest.fixture(scope="module")
+def seeds():
+    return default_seeds(6)
+
+
+def _cfg():
+    return CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                       num_scheduler_shards=3, num_seen_shards=2)
+
+
+def test_watcher_header_and_partial_lines(tmp_path):
+    p = tmp_path / "sub.txt"
+    p.write_bytes(b"http://early.example/a.html\n"      # before any header: dropped
+                  b"priority:1 depth:5 test:1\n"
+                  b"http://a.example/x.html\n"
+                  b"http://b.example/y.h")               # partial: not consumed
+    w = SubmissionWatcher(str(p))
+    subs = w.drain()
+    assert [(s.url, s.depth, s.prio, s.test) for s in subs] == [
+        ("http://a.example/x.html", 5, 0, True)]
+    with open(p, "ab") as f:                             # finish the line,
+        f.write(b"tml\npriority:0 depth:2 test:0\n"      # then a test=0 block
+                b"http://c.example/z.html\n")
+    subs = w.drain()
+    assert [(s.url, s.depth, s.prio, s.test) for s in subs] == [
+        ("http://b.example/y.html", 5, 0, True),
+        ("http://c.example/z.html", 2, 1, False)]
+    assert w.drain() == []                               # nothing new
+
+
+def test_watch_file_matches_inject_path(ray_session, web, seeds, tmp_path):
+    """A mid-crawl test=1 submission through the watched file produces
+    the identical crawl to the same url via inject= (and the oracle)."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from tests.test_crawl_e2e import assert_same_crawl
+
+    urls = ["http://sitee.example/p/0.html", "http://nosuch.example/q.html"]
+    cfg = _cfg()
+    o = oracle_crawl(web, seeds, cfg, inject={3: urls})
+    e_inject = ray_crawl(web, seeds, cfg, inject={3: urls})
+    feed = {3: "priority:1 depth:%d test:1\n%s\n" % (
+        cfg.depth_in_site, "\n".join(urls))}
+    e_watch = ray_crawl(web, seeds, cfg,
+                        watch_file=str(tmp_path / "subs.txt"),
+                        watch_feed=feed)
+    assert_same_crawl(o, e_inject)
+    assert_same_crawl(o, e_watch)
+
+
+def test_watch_file_test0_set_without_test(ray_session, web, seeds, tmp_path):
+    """test=0 enqueues even an already-seen url (the reference's
+    seen->set branch): the url is fetched a second time, and the engine
+    matches the oracle fed the equivalent submission tuple."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from tests.test_crawl_e2e import assert_same_crawl
+
+    cfg = _cfg()
+    base = oracle_crawl(web, seeds, cfg)
+    # a url certainly crawled by tick 4: the first seed itself
+    target = f"http://{seeds[0].split('/')[2]}/p/0.html"
+    fetched_urls = [r["url"] for r in base.fetched]
+    assert fetched_urls.count(target) == 1
+
+    o = oracle_crawl(web, seeds, cfg,
+                     inject={4: [(target, cfg.depth_in_site, 0, False)]})
+    feed = {4: "priority:1 depth:%d test:0\n%s\n" % (cfg.depth_in_site, target)}
+    e = ray_crawl(web, seeds, cfg,
+                  watch_file=str(tmp_path / "subs.txt"), watch_feed=feed)
+    assert_same_crawl(o, e)
+    assert [r["url"] for r in o.fetched].count(target) == 2
+
+    # and with test=1 the same submission is a urlDup, no refetch
+    o1 = oracle_crawl(web, seeds, cfg, inject={4: [target]})
+    feed1 = {4: "priority:1 depth:%d test:1\n%s\n" % (cfg.depth_in_site, target)}
+    e1 = ray_crawl(web, seeds, cfg,
+                   watch_file=str(tmp_path / "subs1.txt"), watch_feed=feed1)
+    assert_same_crawl(o1, e1)
+    assert [r["url"] for r in o1.fetched].count(target) == 1
+    assert o1.answers["urlDup"] == base.answers["urlDup"] + 1
