@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="print the printStats-style text report at the end "
                         "(needs --checkpoint: the report reads the metrics "
                         "Parquet lineage)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="after the crawl, serve the stats report over HTTP "
+                        "on 127.0.0.1:PORT until interrupted (0 = ephemeral; "
+                        "the bound port is announced as a JSON line) — the "
+                        "reference webserver endpoint; needs --checkpoint")
     args = p.parse_args(argv)
     if args.resume and not args.checkpoint:
         p.error("--resume requires --checkpoint")
@@ -83,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         "seconds": round(wall, 3),
         "pages_per_sec": round(res.fetched_count() / max(wall, 1e-9), 1),
         "answers": dict(res.answers),
-    }))
+    }), flush=True)
+    if args.serve is not None and args.checkpoint:
+        from larbin_ray.pipelines.stats import serve_stats
+        serve_stats(args.checkpoint, args.serve)
     return 0
 
 

@@ -67,6 +67,41 @@ def crawl_stats_report(path: str, window: int = 8) -> str:
     return "\n".join(lines)
 
 
+def serve_stats(path: str, port: int = 0, once: bool = False) -> None:
+    """Serve the report over HTTP — the reference webserver's live
+    endpoint (utils/webserver.cxx:840-870: accept, render current
+    counters, close).  Each GET re-renders from the metrics lineage,
+    so a crawl writing checkpoints alongside shows live totals.
+    ``port=0`` binds an ephemeral port; the bound port is announced as
+    a JSON line on stdout (``{"serving": <port>}``).  ``once`` handles
+    a single request then returns (test harness)."""
+    import http.server
+
+    report_path = path
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = crawl_stats_report(report_path).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", port), Handler)
+    print(json.dumps({"serving": srv.server_address[1]}), flush=True)
+    try:
+        if once:
+            srv.handle_request()
+        else:
+            srv.serve_forever()
+    finally:
+        srv.server_close()
+
+
 if __name__ == "__main__":
     import sys
 

@@ -59,3 +59,42 @@ def test_cli_crawl_from_conf(tmp_path):
     assert "larbin_ray crawl stats" in p.stdout
     # distributed sink wrote per-tick slices
     assert list(out.glob("pages/tick=*/*.parquet"))
+
+
+def test_cli_serve_stats(tmp_path):
+    """--serve exposes the stats report over HTTP (the reference
+    webserver endpoint, utils/webserver.cxx:840-870)."""
+    import time
+    import urllib.request
+
+    from larbin_ray.pipelines.stats import crawl_stats_report
+
+    from larbin_ray.sources.synthweb import gen_web
+
+    web = gen_web(60, 6, seed=42)
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(web, pages)
+    conf = tmp_path / "t.conf"
+    conf.write_text(CONF)
+    ckpt = tmp_path / "ckpt"
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "larbin_ray", "--conf", str(conf),
+         "--pages", str(pages), "--checkpoint", str(ckpt), "--serve", "0"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        port = None
+        deadline = time.time() + 240
+        for line in proc.stdout:
+            if line.startswith("{") and "serving" in line:
+                port = json.loads(line)["serving"]
+                break
+            assert time.time() < deadline
+        assert port is not None
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+        assert body == crawl_stats_report(str(ckpt))
+        assert "larbin_ray crawl stats" in body
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
