@@ -671,8 +671,26 @@ def read_crawl_pages(out_dir: str) -> pa.Table:
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     patches = sorted(glob.glob(f"{out_dir}/dup_patches/tick=*.parquet"))
     if patches:
-        dup_urls = pa.concat_tables([pq.read_table(p) for p in patches])["url"]
-        mask = pc.is_in(tbl["url"], value_set=dup_urls.combine_chunks())
+        import re as _re
+
+        # scope each patch to its own tick and to non-robots rows: the
+        # same url can legitimately appear in several sink rows (a
+        # robots fetch bypasses the url-seen set; test=0 submissions
+        # refetch) and only the patched tick's page row was the dup
+        parts = []
+        for p in patches:
+            t = int(_re.search(r"tick=(\d+)", p).group(1))
+            u = pq.read_table(p)["url"].combine_chunks()
+            parts.append(pa.table({"tick": pa.array([t] * len(u), pa.int64()),
+                                   "url": u}))
+        pats = pa.concat_tables(parts)
+        sep = pa.scalar("|")
+        key_tbl = pc.binary_join_element_wise(
+            pc.cast(tbl["tick"], pa.string()), tbl["url"], sep)
+        key_pat = pc.binary_join_element_wise(
+            pc.cast(pats["tick"], pa.string()), pats["url"], sep)
+        mask = pc.and_(pc.is_in(key_tbl, value_set=key_pat.combine_chunks()),
+                       pc.invert(tbl["is_robots"]))
         status = pc.if_else(mask, pa.scalar("duplicate"), tbl["status"])
         tbl = tbl.set_column(tbl.schema.get_field_index("status"),
                              "status", status)

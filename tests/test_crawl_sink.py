@@ -107,3 +107,30 @@ def test_sink_rerun_hygiene_and_empty_read(ray_session, tmp_path):
 
     # empty sink dir -> empty table, not ArrowInvalid
     assert read_crawl_pages(str(tmp_path / "nothing")).num_rows == 0
+
+
+def test_dup_patch_scoped_to_tick(tmp_path):
+    """A dup patch flips only its own tick's page row: the same url can
+    appear in other sink rows legitimately (robots fetches bypass the
+    url-seen set; test=0 submissions refetch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from larbin_ray.pipelines.crawl import read_crawl_pages
+
+    out = tmp_path / "sink"
+    for tick, st in ((0, "success"), (1, "success")):
+        d = out / "pages" / f"tick={tick}"
+        d.mkdir(parents=True)
+        pq.write_table(pa.table({
+            "url": ["http://h.example/x.html"],
+            "tick": pa.array([tick], pa.int64()),
+            "is_robots": [False],
+            "status": [st],
+        }), d / "part-0.parquet")
+    (out / "dup_patches").mkdir()
+    pq.write_table(pa.table({"url": ["http://h.example/x.html"]}),
+                   out / "dup_patches" / "tick=1.parquet")
+
+    got = read_crawl_pages(str(out)).sort_by("tick")
+    assert got["status"].to_pylist() == ["success", "duplicate"]
