@@ -93,10 +93,16 @@ class CrawlConfig:
     fetch_concurrency: int = 4       # fetch-join actor pool
     parse_batch_size: int = 256      # rows per parse map_batches batch
     # ticks with at least this many rows run fetch+parse as a Ray Data
-    # streaming pipeline (the cluster-scale regime); smaller micro-ticks
-    # use plain Ray tasks with the same batch function to avoid the
-    # per-pipeline fixed cost
-    ray_data_min_tick_rows: int = 65536
+    # streaming pipeline instead of plain tasks (same batch function,
+    # oracle-parity-tested either way).  Measured single-node (round 4,
+    # BASELINE.md): the task path wins 2.4-3x at BOTH 40k- and
+    # 250k-row ticks — the old 65536 default silently routed exactly
+    # the biggest design-scale ticks through the slower path (3.2 s/tick
+    # of streaming-executor fixed cost).  Default = off; set a finite
+    # threshold on a multi-node cluster, where map_batches blocks stay
+    # on their nodes' plasma stores while task returns all funnel
+    # through the one driver.
+    ray_data_min_tick_rows: int = 1 << 40
     max_ticks: int = 100_000         # safety valve on the generation loop
     checkpoint_every: int = 0        # write frontier/seen snapshot every N ticks (0=off)
 

@@ -100,7 +100,8 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
 
 
 @ray.remote
-def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
+def _process_task(tick_tbl: pa.Table, offset: int, length: int,
+                  pages_ref_holder: list, cfg: CrawlConfig,
                   n_sched: int, sink_path: str | None,
                   keep_text: bool):
     """Task variant: never blocks on the shard actors — the per-shard
@@ -121,6 +122,11 @@ def _process_task(batch: pa.Table, pages_ref_holder: list, cfg: CrawlConfig,
     """
     # the ref travels inside a list so Ray does not auto-dereference it —
     # the per-worker fetch index cache is keyed by the ref
+    # (tick_tbl, by contrast, arrives auto-dereferenced: one ray.put of
+    # the tick table per tick, zero-copy plasma read per task, each task
+    # slicing its own window — the driver serializes the tick ONCE
+    # instead of once per task slice)
+    batch = tick_tbl.slice(offset, length)
     fetch_fn = make_fetch_fn(pages_ref_holder[0])
     out, entries_by_shard = ParseExtract(cfg).parse_to_entries(
         fetch_fn(batch), n_sched)
@@ -413,6 +419,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         # order (same order the old driver-side column build produced);
         # the shard tables arrive Arrow-ready, so this is a zero-copy
         # concat, not a per-row python loop
+        _t0 = _time.time()
         parts = ([_dispatch_table(robots_rows)] if robots_rows else [])
         parts += [b[1] for b in begins if b[1].num_rows]
         tbl = pa.concat_tables(parts)
@@ -437,6 +444,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
             if _os.path.exists(_patch):
                 _os.remove(_patch)
+        _clk("concat", _t0)
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
@@ -446,13 +454,16 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 batch_format="pyarrow", batch_size=bs)
             ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:
+            _t0 = _time.time()
+            tick_ref = ray.put(tbl)
             task = _process_task.options(num_returns=1 + n_sched)
             futs = [
                 task.remote(
-                    tbl.slice(i, bs), [pages_ref], cfg, n_sched,
+                    tick_ref, i, bs, [pages_ref], cfg, n_sched,
                     f"{sink_dir}/part-{i // bs}.parquet" if task_sink else None,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]
+            _clk("submit", _t0)
             _t0 = _time.time()
             # each task returns (meta table, entries-shard-0, ..., -N).
             # The driver waits on the meta refs and, as tasks COMPLETE,
@@ -491,6 +502,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("ctrl_sort", _t0)
 
         # content-dup resolution in global fetch order (file.cxx:583-588)
+        _t0 = _time.time()
         dup_parents: list[tuple] = []
         if dup is not None:
             succ_idx = np.flatnonzero(
@@ -534,6 +546,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                             ctrl["url"], pa.array(dup_rows, pa.int64()))}),
                         f"{out_dir}/dup_patches/tick={tick}.parquet")
 
+        _clk("dup", _t0)
         _t0 = _time.time()
         # answers: fetch statuses + stateless extraction errors
         # (bincount over int codes; python work is O(unique statuses))
