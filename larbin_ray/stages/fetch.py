@@ -55,7 +55,18 @@ def put_pages(pages: pa.Table) -> "ray.ObjectRef":
     cols = ["url", "html"]
     if "latency_ms" in pages.column_names:
         cols.append("latency_ms")
-    ref = ray.put(pages.select(cols).combine_chunks())
+    tbl = pages.select(cols)
+    # 64-bit offsets for the body column: past ~2 GiB of total page
+    # bytes a 32-bit-offset binary column cannot combine into one chunk,
+    # and ChunkedArray.take dies with "offset overflow while
+    # concatenating" (first hit at the 4M-page design-scale web).  The
+    # cast is one driver-side copy; fetch() casts each batch-sized
+    # gather back to binary so the downstream schema is unchanged.
+    h = tbl.column("html")
+    if h.type == pa.binary():
+        tbl = tbl.set_column(tbl.column_names.index("html"), "html",
+                             h.cast(pa.large_binary()))
+    ref = ray.put(tbl.combine_chunks())
     _PUT_CACHE.clear()           # hold one web at a time (frees the old object)
     _PUT_CACHE.append((pages, ref, job_id))
     return ref
@@ -103,6 +114,8 @@ def make_fetch_fn(pages_ref):
         taken = html_col.take(pa.array(pos))
         if isinstance(taken, pa.ChunkedArray):
             taken = taken.combine_chunks()
+        if taken.type == pa.large_binary():
+            taken = taken.cast(pa.binary())   # batch-sized, no overflow
         miss_arr = pa.array(miss)
         html_out = pc.if_else(miss_arr, pa.scalar(SYNTH_404, pa.binary()), taken)
         if lat_col is not None:

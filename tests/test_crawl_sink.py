@@ -134,3 +134,27 @@ def test_dup_patch_scoped_to_tick(tmp_path):
 
     got = read_crawl_pages(str(out)).sort_by("tick")
     assert got["status"].to_pylist() == ["success", "duplicate"]
+
+
+def test_pages_broadcast_uses_large_offsets(ray_session):
+    """The broadcast html column must carry 64-bit offsets: past ~2 GiB
+    of total page bytes a 32-bit binary column cannot combine into one
+    chunk and ChunkedArray.take dies with "offset overflow while
+    concatenating" (first hit at the 4M-page design-scale web).  fetch()
+    casts each batch-sized gather back to plain binary so the pipeline
+    schema is unchanged."""
+    import pyarrow as pa
+    import ray
+
+    from larbin_ray.stages.fetch import make_fetch_fn, put_pages
+
+    web = gen_web(64, 4, seed=7)
+    ref = put_pages(web)
+    stored = ray.get(ref)
+    assert stored["html"].type == pa.large_binary()
+    assert stored["html"].num_chunks == 1
+
+    batch = pa.table({"url": web["url"].slice(0, 8).combine_chunks()})
+    out = make_fetch_fn(ref)(batch)
+    assert out["html"].type == pa.binary()
+    assert out["html"].to_pylist() == web["html"].slice(0, 8).to_pylist()
