@@ -190,9 +190,23 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
 _ADMIT_T: dict[str, float] = {}   # LARBIN_TICK_DEBUG phase breakdown
 
 
+def _fire_pre_admit(sched, dup_parents: list[tuple],
+                    robots_by_shard: dict[int, list] | None = None) -> list:
+    """Send the pre_admit RPCs without waiting.  Per-actor ordering
+    puts them after every prefeed_links already sent, so firing right
+    at wave end lets the shards' sort+fast-fail run in the shadow of
+    the driver's ctrl processing (sort/answers/meta) instead of after
+    it — only legal when that processing cannot feed the admission
+    (no robots dispatched this tick, content-dup disabled)."""
+    robots_by_shard = robots_by_shard or {}
+    return [s.pre_admit_links.remote(dup_parents, robots_by_shard.get(sid, ()))
+            for sid, s in enumerate(sched)]
+
+
 def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
                    dup_parents: list[tuple],
-                   robots_by_shard: dict[int, list] | None = None) -> None:
+                   robots_by_shard: dict[int, list] | None = None,
+                   prefired: list | None = None) -> None:
     """pre_admit -> seen -> enqueue across the shard tiers; the driver
     moves only key/hash columns.  Robots results ride in the pre_admit
     RPC (one barrier, not three); the enqueue ack is pipelined —
@@ -200,13 +214,11 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     shard observes the enqueue.  (Entry refs themselves arrive mid-wave
     via prefeed_links, never through this barrier.)"""
     n_seen = cfg.num_seen_shards
-    robots_by_shard = robots_by_shard or {}
     import time as _time
     _t0 = _time.time()
-    per_shard = ray.get([
-        s.pre_admit_links.remote(dup_parents,
-                                 robots_by_shard.get(sid, ()))
-        for sid, s in enumerate(sched)])
+    per_shard = ray.get(prefired if prefired is not None
+                        else _fire_pre_admit(sched, dup_parents,
+                                             robots_by_shard))
     _ADMIT_T["pre_admit"] = _ADMIT_T.get("pre_admit", 0.0) + _time.time() - _t0
     _t0 = _time.time()
     counts = [len(d["hash"]) for d in per_shard]
@@ -445,6 +457,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             if _os.path.exists(_patch):
                 _os.remove(_patch)
         _clk("concat", _t0)
+        pre_futs = None     # set when admission is fired early at wave end
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
@@ -486,6 +499,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 for sid in range(n_sched):
                     sched[sid].prefeed_links.remote(
                         [by_meta[r][1 + sid] for r in done])
+            if dup is None and not robots_rows:
+                # nothing downstream can feed this tick's admission
+                # (dup_parents stays [], robots_payload stays {}): start
+                # the shards' sort+fast-fail now, overlapped with the
+                # driver's ctrl processing below
+                pre_futs = _fire_pre_admit(sched, [])
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
             _clk("taskwave", _t0)
 
@@ -553,7 +572,9 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _cnt = np.bincount(st_codes[~is_rob], minlength=len(status_vals))
         res.answers.update({status_vals[i]: int(c)
                             for i, c in enumerate(_cnt) if c})
-        res.answers.update(Counter(pc.list_flatten(ctrl["stateless_errors"]).to_pylist()))
+        # value_counts in C; the driver touches O(unique error kinds)
+        _vc = pc.value_counts(pc.list_flatten(ctrl["stateless_errors"]))
+        res.answers.update({v["values"]: v["counts"] for v in _vc.to_pylist()})
 
         # robots bodies -> owning shards (per-index scalar access: the
         # robots rows are few — no full host/port column materialization)
@@ -586,7 +607,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
 
         _t0 = _time.time()
         _admit_barrier(res, cfg, sched, seen, dup_parents,
-                       robots_by_shard=robots_payload)
+                       robots_by_shard=robots_payload, prefired=pre_futs)
         _clk("admit", _t0)
 
         metrics_rows.append({

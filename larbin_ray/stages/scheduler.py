@@ -164,8 +164,11 @@ class SchedulerShardCore:
         if robots_items:
             self.robots_results(list(robots_items))
         from operator import itemgetter
-        dup = set(dup_parents)
-        buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
+        if dup_parents:
+            dup = set(dup_parents)
+            buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
+        else:               # no dup parents this tick: skip the O(buffer) pass
+            buf = self._buffer
         self._buffer = []
         self._batch_tokens.clear()
         buf.sort(key=itemgetter(0, 1, 2, 3))

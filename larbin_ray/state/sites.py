@@ -57,7 +57,7 @@ from larbin_ray.kernels.urlnorm import Url, puny_host
 from larbin_ray.sources import dns as fixture_dns
 
 
-@dataclass
+@dataclass(slots=True)   # hot: built once per admitted link (millions/run)
 class UrlRec:
     host: bytes
     port: int
