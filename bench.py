@@ -149,7 +149,7 @@ def run_bench() -> dict:
     # design-scale --scaling runs (a 4M-page crawl is ~4 min/sample at
     # 2 CPUs); the default stays best-of-3 per the measurement protocol.
     samples = []
-    for i in range(int(os.environ.get("GRAFT_CRAWL_SAMPLES", "3"))):
+    for i in range(max(1, int(os.environ.get("GRAFT_CRAWL_SAMPLES", "3")))):
         t0 = time.time()
         res = ray_crawl(web, breadth_seeds(n_domains), cfg,
                         out_dir=f"{CACHE}/crawl_out_{NUM_CPUS}",

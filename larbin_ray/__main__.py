@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.resume and not args.checkpoint:
         p.error("--resume requires --checkpoint")
+    if args.serve is not None and not args.checkpoint:
+        p.error("--serve requires --checkpoint (the report reads the "
+                "metrics Parquet lineage)")
 
     import ray
     if not ray.is_initialized():
@@ -89,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         "pages_per_sec": round(res.fetched_count() / max(wall, 1e-9), 1),
         "answers": dict(res.answers),
     }), flush=True)
-    if args.serve is not None and args.checkpoint:
+    if args.serve is not None:
         from larbin_ray.pipelines.stats import serve_stats
         serve_stats(args.checkpoint, args.serve)
     return 0

@@ -270,6 +270,14 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     _ADMIT_T["verdicts"] = _ADMIT_T.get("verdicts", 0.0) + _time.time() - _t0
 
 
+def _check_entry(prio: int, i: int, u) -> tuple:
+    """The check()-path 12-tuple shared by every submission surface
+    (seeds, inject=, watched file): parent_sub=-1 marks skip-fast
+    admission (global.cxx:284-297); no parent ip/cookie."""
+    return (prio, "", 0, i, u.host, u.port, u.file, u.depth,
+            u.hash_code(), "", -1, None)
+
+
 def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen) -> None:
     """Process watched-file submissions in file order: consecutive
     same-(test, priority) runs form one admission group — a group's
@@ -294,10 +302,9 @@ def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen) -> None:
             if not u.is_valid():
                 continue
             sid = _route_host(u.host, n_sched, cfg.punycode)
-            entries_by_shard.setdefault(sid, []).append(
-                (sub.prio, "", 0, i, u.host, u.port, u.file, u.depth,
-                 u.hash_code(), "", -1, None))
-            hcs.append(u.hash_code())
+            e = _check_entry(sub.prio, i, u)
+            entries_by_shard.setdefault(sid, []).append(e)
+            hcs.append(e[8])
         if not entries_by_shard:
             continue
         if key[0]:      # test=1: the check()-path admission barrier
@@ -307,7 +314,7 @@ def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen) -> None:
         else:           # test=0: set without test + forced enqueue
             codes = np.asarray(hcs, dtype=np.int64)
             mod = codes % n_seen
-            futs = [seen[ssid].set_sorted.remote(codes[mod == ssid])
+            futs = [seen[ssid].set_many.remote(codes[mod == ssid])
                     for ssid in range(n_seen) if bool((mod == ssid).any())]
             futs += [sched[sid].submit_forced.remote(e)
                      for sid, e in entries_by_shard.items()]
@@ -327,6 +334,14 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         from larbin_ray.sources.submit import SubmissionWatcher
         open(watch_file, "a").close()   # surface exists from tick 0
         watcher = SubmissionWatcher(watch_file)
+        if resume:
+            # socket semantics (io/input.cxx): a submission sent while
+            # the crawler is down is never acknowledged.  A resumed run
+            # treats the file's current content as consumed — otherwise
+            # every line the checkpointing run already processed would
+            # re-drain (test=0 lines would force a second fetch) and
+            # the resumed crawl would diverge from an uninterrupted one.
+            watcher._offset = _os.path.getsize(watch_file)
 
     def _clk(name, t0):
         phase_t[name] = phase_t.get(name, 0.0) + _time.time() - t0
@@ -381,9 +396,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         if not u.is_valid():
             raise ValueError(f"invalid seed url: {s}")
         sid = _route_host(u.host, n_sched, cfg.punycode)
-        seed_entries.setdefault(sid, []).append(
-            (0, "", 0, i, u.host, u.port, u.file, u.depth, u.hash_code(),
-             "", -1, None))
+        seed_entries.setdefault(sid, []).append(_check_entry(0, i, u))
     ray.get([sched[sid].submit_links.remote(e) for sid, e in seed_entries.items()])
     _admit_barrier(res, cfg, sched, seen, [])
 
@@ -409,9 +422,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 u = parse_url(s_url.encode("latin-1"), cfg.depth_in_site, None)
                 if u.is_valid():
                     sid = _route_host(u.host, n_sched, cfg.punycode)
-                    inj_entries.setdefault(sid, []).append(
-                        (0, "", 0, i, u.host, u.port, u.file, u.depth,
-                         u.hash_code(), "", -1, None))
+                    inj_entries.setdefault(sid, []).append(_check_entry(0, i, u))
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in inj_entries.items()])
             _admit_barrier(res, cfg, sched, seen, [])
@@ -424,6 +435,16 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         if not robots_rows and n_pages_tick == 0:
             if (queued == 0 and not any(t > tick for t in (inject or {}))
                     and not any(t > tick for t in (watch_feed or {}))):
+                if watcher is not None:
+                    # final poll: honor lines fully appended before the
+                    # idle-frontier exit (they admit now, dispatch next
+                    # tick).  Later appends are the daemon regime — a
+                    # batch run exits on an idle frontier by design.
+                    subs = watcher.drain()
+                    if subs:
+                        _drain_submissions(subs, res, cfg, sched, seen,
+                                           n_sched, n_seen)
+                        continue
                 break
             continue
 

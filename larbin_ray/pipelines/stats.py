@@ -98,6 +98,8 @@ def serve_stats(path: str, port: int = 0, once: bool = False) -> None:
             srv.handle_request()
         else:
             srv.serve_forever()
+    except KeyboardInterrupt:
+        pass    # documented exit path: Ctrl-C stops the server cleanly
     finally:
         srv.server_close()
 

@@ -364,7 +364,10 @@ def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int,
                              "key": pd.array([], dtype="int64"),
                              "bucket": pd.array([], dtype="int64")})
     sig = np.stack([np.asarray(s) for s in df["sig"]]).astype(np.uint64)
-    sig = sig.reshape(n, bands, rows_per_band)
+    # num_hashes need not divide bands evenly: band b covers lanes
+    # [b*rpb, (b+1)*rpb) and the tail lanes are unused, exactly like the
+    # slicing loop this replaced
+    sig = sig[:, :bands * rows_per_band].reshape(n, bands, rows_per_band)
     key = np.zeros((n, bands), dtype=np.uint64)
     for j in range(rows_per_band):        # rows_per_band lanes, not N docs
         key = (key * np.uint64(0x9E3779B97F4A7C15)) ^ sig[:, :, j]

@@ -97,7 +97,7 @@ class SchedulerShardCore:
         """test=0 input-port submissions (io/input.cxx:152-159): no
         seen test, no fast-fail — straight to the site queues in
         submission order.  The caller sets the seen bits
-        unconditionally in parallel (seen shards ``set_sorted``)."""
+        unconditionally in parallel (seen shards ``set_many``)."""
         recs = [UrlRec(e[4], e[5], e[6], e[7],
                        akey=(e[0], e[1], e[2], e[3]),
                        cookie=e[11] if len(e) > 11 else None, hc=e[8])

@@ -44,12 +44,13 @@ class BitsetShardCore:
         codes = np.asarray(codes, dtype=np.int64) // self.num_shards
         return self.bitset.test_set_many(codes)
 
-    def set_sorted(self, codes) -> None:
+    def set_many(self, codes) -> None:
         """Unconditional set (io/input.cxx:152 ``seen->set``): the
         test=0 input path marks urls seen without an admission
-        verdict."""
+        verdict.  Accepts codes in submission order (no sortedness
+        contract — a plain bitwise-or, no first-wins bookkeeping)."""
         codes = np.asarray(codes, dtype=np.int64) // self.num_shards
-        self.bitset.test_set_many(codes)
+        self.bitset.set_many(codes)
 
     def global_indices(self) -> np.ndarray:
         return self.bitset.set_indices() * self.num_shards + self.shard_id

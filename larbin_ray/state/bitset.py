@@ -36,6 +36,13 @@ class Bitset:
         np.bitwise_or.at(self.table, pos, bits)
         return (~already) & first
 
+    def set_many(self, codes: np.ndarray) -> None:
+        """Unconditional batch set — no verdict, no first-wins
+        bookkeeping (hash_table.cxx ``set``)."""
+        codes = np.asarray(codes, dtype=np.int64)
+        np.bitwise_or.at(self.table, codes >> 3,
+                         np.left_shift(1, (codes & 7)).astype(np.uint8))
+
     def test_set(self, code: int) -> bool:
         pos = code >> 3
         bit = 1 << (code & 7)

@@ -97,3 +97,48 @@ def test_watch_file_test0_set_without_test(ray_session, web, seeds, tmp_path):
     assert_same_crawl(o1, e1)
     assert [r["url"] for r in o1.fetched].count(target) == 1
     assert o1.answers["urlDup"] == base.answers["urlDup"] + 1
+
+
+def test_resume_does_not_redrain_watch_file(ray_session, web, seeds, tmp_path):
+    """Socket semantics on resume: lines the checkpointing run already
+    consumed (and any appended while the crawler was down) are treated
+    as consumed — the resumed crawl equals the uninterrupted one instead
+    of re-submitting every line from offset 0."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      num_scheduler_shards=3, num_seen_shards=2,
+                      checkpoint_every=4)
+    target = f"http://{seeds[0].split('/')[2]}/p/0.html"
+    feed = {3: "priority:1 depth:%d test:0\n%s\n" % (cfg.depth_in_site, target)}
+
+    o = oracle_crawl(web, seeds, cfg,
+                     inject={3: [(target, cfg.depth_in_site, 0, False)]})
+    import numpy as np
+
+    wf = str(tmp_path / "subs.txt")
+    ck = str(tmp_path / "ck")
+    ray_crawl(web, seeds, cfg, watch_file=wf, watch_feed=feed,
+              checkpoint_dir=ck, max_ticks=8)
+    resumed = ray_crawl(web, seeds, cfg, watch_file=wf,
+                        checkpoint_dir=ck, resume=True)
+    # resumed.fetched holds only post-resume rows; the invariants that
+    # catch a re-drain are the answers histogram (a replayed test=0 line
+    # means one extra success) and the seen bitset
+    assert dict(resumed.answers) == dict(o.answers)
+    assert np.array_equal(resumed.seen_indices, o.seen_indices)
+    # the forced fetch happened before the checkpoint, not again after
+    assert [r["url"] for r in resumed.fetched].count(target) == 0
+
+
+def test_minhash_uneven_banding(ray_session):
+    """num_hashes not divisible by bands: band b covers lanes
+    [b*rpb, (b+1)*rpb), tail lanes unused — the vectorized banding must
+    accept it like the slicing loop it replaced."""
+    from larbin_ray.pipelines.textops import minhash_dedup
+
+    t = minhash_dedup("/root/testdata/sf0.001", num_hashes=50, bands=16,
+                      force_path="tasks")
+    d = minhash_dedup("/root/testdata/sf0.001", num_hashes=50, bands=16,
+                      force_path="data")
+    assert t.equals(d)
