@@ -100,7 +100,7 @@ def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
 
 
 @ray.remote
-def _process_task(tick_tbl: pa.Table, offset: int, length: int,
+def _process_task(tick_refs: list, offset: int, length: int,
                   pages_ref_holder: list, cfg: CrawlConfig,
                   n_sched: int, sink_path: str | None,
                   keep_text: bool):
@@ -120,13 +120,16 @@ def _process_task(tick_tbl: pa.Table, offset: int, length: int,
     driver involvement; the driver then only ever sees slim metadata
     (text retained for robots rows, and for all rows in keep_text mode).
     """
-    # the ref travels inside a list so Ray does not auto-dereference it —
-    # the per-worker fetch index cache is keyed by the ref
-    # (tick_tbl, by contrast, arrives auto-dereferenced: one ray.put of
-    # the tick table per tick, zero-copy plasma read per task, each task
-    # slicing its own window — the driver serializes the tick ONCE
-    # instead of once per task slice)
-    batch = tick_tbl.slice(offset, length)
+    # the pages ref travels inside a list so Ray does not auto-dereference
+    # it — the per-worker fetch index cache is keyed by the ref.
+    # tick_refs holds the tick's dispatch-table refs (the optional robots
+    # table the driver put, then each scheduler shard's begin_tick table
+    # IN SHARD ORDER — the shard tables are actor-return objects already
+    # sitting in plasma, so the driver never re-serializes the tick:
+    # each task reads them zero-copy, concats (zero-copy) and slices its
+    # own window)
+    tbl = pa.concat_tables(ray.get(list(tick_refs)))
+    batch = tbl.slice(offset, length)
     fetch_fn = make_fetch_fn(pages_ref_holder[0])
     out, entries_by_shard = ParseExtract(cfg).parse_to_entries(
         fetch_fn(batch), n_sched)
@@ -191,83 +194,72 @@ _ADMIT_T: dict[str, float] = {}   # LARBIN_TICK_DEBUG phase breakdown
 
 
 def _fire_pre_admit(sched, dup_parents: list[tuple],
-                    robots_by_shard: dict[int, list] | None = None) -> list:
+                    robots_by_shard: dict[int, list] | None = None,
+                    n_seen: int = 1) -> list[list]:
     """Send the pre_admit RPCs without waiting.  Per-actor ordering
     puts them after every prefeed_links already sent, so firing right
     at wave end lets the shards' sort+fast-fail run in the shadow of
-    the driver's ctrl processing (sort/answers/meta) instead of after
-    it — only legal when that processing cannot feed the admission
-    (no robots dispatched this tick, content-dup disabled)."""
+    the driver's ctrl processing (answers/meta) instead of after it —
+    only legal when that processing cannot feed the admission (no
+    robots dispatched this tick, content-dup disabled).  Returns, per
+    scheduler shard, the n_seen payload refs (separate task returns,
+    one per seen shard)."""
     robots_by_shard = robots_by_shard or {}
-    return [s.pre_admit_links.remote(dup_parents, robots_by_shard.get(sid, ()))
-            for sid, s in enumerate(sched)]
+    futs = []
+    for sid, s in enumerate(sched):
+        r = s.pre_admit_split.options(num_returns=n_seen).remote(
+            dup_parents, robots_by_shard.get(sid, ()), n_seen)
+        futs.append(list(r) if n_seen > 1 else [r])
+    return futs
 
 
 def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
                    dup_parents: list[tuple],
                    robots_by_shard: dict[int, list] | None = None,
-                   prefired: list | None = None) -> None:
-    """pre_admit -> seen -> enqueue across the shard tiers; the driver
-    moves only key/hash columns.  Robots results ride in the pre_admit
+                   prefired: list | None = None) -> list:
+    """pre_admit -> seen-merge -> verdict scatter, fully actor-to-actor:
+    the driver only WIRES refs (each scheduler shard's per-seen-shard
+    payload to its seen shard, each seen shard's per-origin verdict
+    slice back to its scheduler shard) and never touches per-candidate
+    data or waits on the chain.  Robots results ride in the pre_admit
     RPC (one barrier, not three); the enqueue ack is pipelined —
-    per-actor ordering guarantees the next begin_tick/stats call on a
-    shard observes the enqueue.  (Entry refs themselves arrive mid-wave
-    via prefeed_links, never through this barrier.)"""
+    per-actor ordering guarantees the next begin_tick/stats/checkpoint
+    call on a shard observes the enqueue.  Each seen shard lexsorts its
+    own hash-subset by the (unique) admission key, which equals the
+    global order restricted to that subset, so the outcome is
+    bit-identical to a driver-side global merge.  Returns the
+    per-seen-shard urlDup count refs — callers settle them lazily
+    (_apply_dups), off the tick's critical path."""
     n_seen = cfg.num_seen_shards
-    import time as _time
-    _t0 = _time.time()
-    per_shard = ray.get(prefired if prefired is not None
-                        else _fire_pre_admit(sched, dup_parents,
-                                             robots_by_shard))
-    _ADMIT_T["pre_admit"] = _ADMIT_T.get("pre_admit", 0.0) + _time.time() - _t0
-    _t0 = _time.time()
-    counts = [len(d["hash"]) for d in per_shard]
-    total = sum(counts)
-    if total == 0:
-        for s in sched:
-            s.enqueue_verdicts.remote([])
-        return
-    origin = np.concatenate([np.full(c, sid, dtype=np.int64)
-                             for sid, c in enumerate(counts)])
-    local = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
-    prio = np.concatenate([np.asarray(d["prio"], dtype=np.int64) for d in per_shard])
-    sub = np.concatenate([np.asarray(d["sub"], dtype=np.int64) for d in per_shard])
-    order = np.concatenate([np.asarray(d["order"], dtype=np.int64) for d in per_shard])
-    hashes = np.concatenate([np.asarray(d["hash"], dtype=np.int64) for d in per_shard])
-    # parent ip arrives as a 16-byte big-endian int pair (order-equal to
-    # the ip string; encoded shard-side in parallel) so the global
-    # admission lexsort runs on pure int64 columns — the driver does no
-    # per-candidate python work
-    ip_hi = np.concatenate([np.asarray(d["ip_hi"], dtype=np.int64) for d in per_shard])
-    ip_lo = np.concatenate([np.asarray(d["ip_lo"], dtype=np.int64) for d in per_shard])
-    g = np.lexsort((order, sub, ip_lo, ip_hi, prio))   # global admission order
-    s_hash, s_origin, s_local = hashes[g], origin[g], local[g]
-    _ADMIT_T["lexsort"] = _ADMIT_T.get("lexsort", 0.0) + _time.time() - _t0
-    _t0 = _time.time()
+    n_sched = len(sched)
+    pre = prefired if prefired is not None else _fire_pre_admit(
+        sched, dup_parents, robots_by_shard, n_seen)
+    dup_refs, seen_parts = [], []
+    for j, shard in enumerate(seen):
+        rets = list(shard.test_set_merged.options(
+            num_returns=1 + n_sched).remote(
+                n_sched, [pre[sid][j] for sid in range(n_sched)]))
+        dup_refs.append(rets[0])
+        seen_parts.append(rets[1:])
+    for sid in range(n_sched):
+        sched[sid].apply_verdicts.remote(
+            [seen_parts[j][sid] for j in range(n_seen)])
+    return dup_refs
 
-    is_new = np.zeros(total, dtype=bool)
-    mod = s_hash % n_seen
-    futs, sels = [], []
-    for ssid in range(n_seen):
-        sel = np.flatnonzero(mod == ssid)
-        if len(sel):
-            futs.append(seen[ssid].test_set_sorted.remote(s_hash[sel]))
-            sels.append(sel)
-    for sel, verdicts in zip(sels, ray.get(futs)):
-        is_new[sel] = verdicts
-    dups = int(total - is_new.sum())
-    if dups:
-        res.answers["urlDup"] += dups
-    _ADMIT_T["seen"] = _ADMIT_T.get("seen", 0.0) + _time.time() - _t0
-    _t0 = _time.time()
 
-    for sid, c in enumerate(counts):
-        v = np.zeros(c, dtype=bool)
-        mask = s_origin == sid
-        v[s_local[mask]] = is_new[mask]
-        # pipelined: per-actor ordering makes the next call the ack
-        sched[sid].enqueue_verdicts.remote(v)
-    _ADMIT_T["verdicts"] = _ADMIT_T.get("verdicts", 0.0) + _time.time() - _t0
+def _apply_dups(res: CrawlResult, pending: list, metrics_rows=None) -> None:
+    """Settle accumulated urlDup count refs IN BARRIER ORDER.  Each
+    entry is (metrics_row_index | None, refs); row entries fill their
+    tick's cum_url_dup.  Called at checkpoint boundaries and at run
+    end — the only points that read res.answers['urlDup']."""
+    for row_idx, refs in pending:
+        dups = int(sum(ray.get(refs)))
+        if dups:        # never materialize a zero key (oracle parity)
+            res.answers["urlDup"] += dups
+        if row_idx is not None and metrics_rows is not None:
+            metrics_rows[row_idx]["cum_url_dup"] = \
+                int(res.answers.get("urlDup", 0))
+    pending.clear()
 
 
 def _check_entry(prio: int, i: int, u) -> tuple:
@@ -278,7 +270,8 @@ def _check_entry(prio: int, i: int, u) -> tuple:
             u.hash_code(), "", -1, None)
 
 
-def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen) -> None:
+def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen,
+                       pending_dup) -> None:
     """Process watched-file submissions in file order: consecutive
     same-(test, priority) runs form one admission group — a group's
     admission lexsort reduces to submission order when prio is uniform,
@@ -310,7 +303,7 @@ def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen) -> None:
         if key[0]:      # test=1: the check()-path admission barrier
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in entries_by_shard.items()])
-            _admit_barrier(res, cfg, sched, seen, [])
+            pending_dup.append((None, _admit_barrier(res, cfg, sched, seen, [])))
         else:           # test=0: set without test + forced enqueue
             codes = np.asarray(hcs, dtype=np.int64)
             mod = codes % n_seen
@@ -398,7 +391,10 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         sid = _route_host(u.host, n_sched, cfg.punycode)
         seed_entries.setdefault(sid, []).append(_check_entry(0, i, u))
     ray.get([sched[sid].submit_links.remote(e) for sid, e in seed_entries.items()])
-    _admit_barrier(res, cfg, sched, seen, [])
+    # urlDup count refs from every barrier settle lazily in barrier
+    # order — the chain itself is the per-actor-ordered barrier
+    pending_dup: list[tuple] = []
+    pending_dup.append((None, _admit_barrier(res, cfg, sched, seen, [])))
 
     # ---- tick loop ----
     for tick in range(start_tick, max_ticks):
@@ -412,7 +408,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 with open(watch_file, "a") as _wf:
                     _wf.write(watch_feed[tick])
             _drain_submissions(watcher.drain(), res, cfg, sched, seen,
-                               n_sched, n_seen)
+                               n_sched, n_seen, pending_dup)
         injected = (inject or {}).get(tick, [])
         if injected:
             # S2 input-port equivalent: submissions run straight through
@@ -425,9 +421,17 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     inj_entries.setdefault(sid, []).append(_check_entry(0, i, u))
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in inj_entries.items()])
-            _admit_barrier(res, cfg, sched, seen, [])
+            pending_dup.append((None, _admit_barrier(res, cfg, sched, seen, [])))
         _t0 = _time.time()
-        begins = ray.get([s.begin_tick.remote(tick) for s in sched])
+        # num_returns=3 splits each shard's (robots, dispatch table,
+        # queued) into separate objects: the driver reads all three
+        # (the table read is a zero-copy plasma map), but the TASKS get
+        # the table refs directly — the tick table is never re-serialized
+        # through a driver ray.put
+        begin_futs = [s.begin_tick.options(num_returns=3).remote(tick)
+                      for s in sched]
+        _flat = ray.get([r for f in begin_futs for r in f])
+        begins = [tuple(_flat[i:i + 3]) for i in range(0, len(_flat), 3)]
         _clk("begin", _t0)
         robots_rows = [r for b in begins for r in b[0]]
         n_pages_tick = sum(b[1].num_rows for b in begins)
@@ -443,7 +447,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     subs = watcher.drain()
                     if subs:
                         _drain_submissions(subs, res, cfg, sched, seen,
-                                           n_sched, n_seen)
+                                           n_sched, n_seen, pending_dup)
                         continue
                 break
             continue
@@ -453,7 +457,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         # the shard tables arrive Arrow-ready, so this is a zero-copy
         # concat, not a per-row python loop
         _t0 = _time.time()
-        parts = ([_dispatch_table(robots_rows)] if robots_rows else [])
+        rob_tbl = _dispatch_table(robots_rows) if robots_rows else None
+        parts = ([rob_tbl] if rob_tbl is not None else [])
         parts += [b[1] for b in begins if b[1].num_rows]
         tbl = pa.concat_tables(parts)
         bs = cfg.parse_batch_size
@@ -489,11 +494,16 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:
             _t0 = _time.time()
-            tick_ref = ray.put(tbl)
+            # robots rows (rare, small) are the only part the driver puts;
+            # the shard dispatch tables travel as their begin_tick return
+            # refs — empty shard tables contribute 0 rows to the task-side
+            # concat, so the offsets computed from the driver's `tbl` match
+            tick_refs = (([ray.put(rob_tbl)] if rob_tbl is not None else [])
+                         + [f[1] for f in begin_futs])
             task = _process_task.options(num_returns=1 + n_sched)
             futs = [
                 task.remote(
-                    tick_ref, i, bs, [pages_ref], cfg, n_sched,
+                    tick_refs, i, bs, [pages_ref], cfg, n_sched,
                     f"{sink_dir}/part-{i // bs}.parquet" if task_sink else None,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]
@@ -525,13 +535,22 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 # (dup_parents stays [], robots_payload stays {}): start
                 # the shards' sort+fast-fail now, overlapped with the
                 # driver's ctrl processing below
-                pre_futs = _fire_pre_admit(sched, [])
+                pre_futs = _fire_pre_admit(sched, [], None, n_seen)
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
             _clk("taskwave", _t0)
 
         _t0 = _time.time()
-        ctrl = ctrl.sort_by([("tick", "ascending"), ("ip", "ascending"),
-                             ("is_robots", "descending"), ("sub", "ascending")])
+        # the global fetch order is observable only through the content-dup
+        # barrier (first-occurrence-wins, file.cxx:583-588) and the
+        # res.fetched row order; in throughput mode with dup off every
+        # consumer below is order-free (answers = bincount, robots results
+        # apply per-host independently, metrics are counters, the sink was
+        # written task-side), so the O(rows log rows) driver sort is skipped
+        # (parity: test_long_crawl_throughput_mode asserts answers equality
+        # against the sorted build_rows=True run)
+        if dup is not None or build_rows:
+            ctrl = ctrl.sort_by([("tick", "ascending"), ("ip", "ascending"),
+                                 ("is_robots", "descending"), ("sub", "ascending")])
         is_rob = ctrl["is_robots"].to_numpy(zero_copy_only=False)
         # statuses stay dictionary-encoded on the driver: int codes +
         # an O(unique) value list — never an O(rows) python list
@@ -627,8 +646,9 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("meta", _t0)
 
         _t0 = _time.time()
-        _admit_barrier(res, cfg, sched, seen, dup_parents,
-                       robots_by_shard=robots_payload, prefired=pre_futs)
+        dup_refs = _admit_barrier(res, cfg, sched, seen, dup_parents,
+                                  robots_by_shard=robots_payload,
+                                  prefired=pre_futs)
         _clk("admit", _t0)
 
         metrics_rows.append({
@@ -636,12 +656,16 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             "robots": int(len(robots_rows)),
             "pages": int(n_pages_tick),
             "cum_success": int(res.answers["success"]),
-            "cum_url_dup": int(res.answers["urlDup"]),
+            "cum_url_dup": -1,      # filled by _apply_dups at settle
         })
+        pending_dup.append((len(metrics_rows) - 1, dup_refs))
         if (checkpoint_dir and cfg.checkpoint_every
                 and (tick + 1) % cfg.checkpoint_every == 0):
             from larbin_ray.pipelines.checkpoint import write_checkpoint
 
+            # settle the admission chains first: the manifest reads
+            # res.answers['urlDup'] and the metrics rows' cum values
+            _apply_dups(res, pending_dup, metrics_rows)
             # manifest answers/failures must include the shard-held
             # state (noDNS/fastRobots/... live in the scheduler cores)
             # plus anything restored from a prior manifest
@@ -668,6 +692,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             break
 
     # ---- build the result rows once ----
+    _apply_dups(res, pending_dup, metrics_rows)
     if build_rows:
         res.n_fetched = sum(t.num_rows for t in meta_tables)
     for t in meta_tables:

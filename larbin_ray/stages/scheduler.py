@@ -208,6 +208,53 @@ class SchedulerShardCore:
         self._survivors = []
         return len(new)
 
+    # ---- decentralized admission (sched -> seen -> sched, no driver
+    # data motion): pre_admit_split partitions the survivors' key/hash
+    # columns by their owning SEEN shard (hash % n_seen) as SEPARATE
+    # task returns; each seen shard merges its subset across all
+    # scheduler shards (BitsetShardCore.test_set_merged) and returns
+    # per-origin verdict slices that apply_verdicts scatters back.
+    # Correctness: the admission key (prio, parent-ip, sub, order) is
+    # unique across a tick's candidates and two bit-colliding hash
+    # codes always share hash % n_seen, so each seen shard's local
+    # lexsort of its subset reproduces the global admission order
+    # restricted to that subset — bit-identical to the old driver-side
+    # global merge at any shard/CPU count.
+
+    def pre_admit_split(self, dup_parents: list[tuple],
+                        robots_items: list[tuple] = (), n_seen: int = 1):
+        import numpy as np
+
+        d = self.pre_admit_links(dup_parents, robots_items)
+        idx = np.arange(len(d["hash"]), dtype=np.int64)
+        mod = d["hash"] % n_seen
+        outs = []
+        for j in range(n_seen):
+            sel = np.flatnonzero(mod == j)
+            p = {k: v[sel] for k, v in d.items()}
+            p["idx"] = idx[sel]
+            outs.append(p)
+        # with num_returns=n_seen the actor call maps each payload to
+        # its own object; n_seen == 1 returns the single payload
+        return tuple(outs) if n_seen > 1 else outs[0]
+
+    def apply_verdicts(self, parts_refs: list) -> int:
+        """Scatter the seen shards' verdict slices back onto the last
+        pre_admit survivors and enqueue the new ones.  ``parts_refs``
+        are refs to (idx, verdict) pairs — one per seen shard — read
+        straight from plasma (zero-copy numpy)."""
+        import numpy as np
+        import ray as _ray
+
+        v = np.zeros(len(self._survivors), dtype=bool)
+        for idx, verd in _ray.get(list(parts_refs)):
+            if len(idx):
+                v[idx] = verd
+        new = [r for r, keep in zip(self._survivors, v) if keep]
+        self.core.enqueue(new)
+        self._survivors = []
+        return len(new)
+
     def resolve_new_hosts(self, tick: int) -> list[dict]:
         return self.core.resolve_new_hosts(tick)
 

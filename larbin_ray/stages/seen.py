@@ -44,6 +44,35 @@ class BitsetShardCore:
         codes = np.asarray(codes, dtype=np.int64) // self.num_shards
         return self.bitset.test_set_many(codes)
 
+    def test_set_merged(self, n_origin: int, payload_refs: list):
+        """Decentralized admission merge: each payload ref (one per
+        scheduler shard, read zero-copy from plasma) carries this seen
+        shard's subset of that shard's survivors — key columns + hash +
+        local index.  The subset is lexsorted by the global admission
+        key (unique per tick, so the local sort equals the global order
+        restricted to this shard's hash space), tested first-wins, and
+        the verdicts are returned as per-origin (idx, verdict) slices —
+        ``num_returns=1+n_origin`` at the call site routes each slice
+        straight to its scheduler shard without driver data motion.
+        First return is this shard's urlDup count for the batch."""
+        import ray as _ray
+
+        pays = _ray.get(list(payload_refs))
+        counts = [len(p["hash"]) for p in pays]
+        if sum(counts) == 0:
+            empty = (np.empty(0, np.int64), np.empty(0, bool))
+            return (0,) + tuple(empty for _ in range(n_origin))
+        origin = np.repeat(np.arange(len(pays), dtype=np.int64), counts)
+        cat = {k: np.concatenate([p[k] for p in pays])
+               for k in ("prio", "ip_hi", "ip_lo", "sub", "order",
+                         "hash", "idx")}
+        g = np.lexsort((cat["order"], cat["sub"], cat["ip_lo"],
+                        cat["ip_hi"], cat["prio"]))
+        verd = self.test_set_sorted(cat["hash"][g])
+        og, ig = origin[g], cat["idx"][g]
+        parts = [(ig[og == sid], verd[og == sid]) for sid in range(n_origin)]
+        return (int(len(verd) - verd.sum()), *parts)
+
     def set_many(self, codes) -> None:
         """Unconditional set (io/input.cxx:152 ``seen->set``): the
         test=0 input path marks urls seen without an admission
