@@ -13,12 +13,15 @@ Each simulated-time *tick* (politeness slot, see larbin_ray.state.sites):
       -> pre_admit barrier    : shards sort their candidates by the global
          admission key (prio, ip, sub, link order), drop dup-parents, run
          the initOK fast-fails
-      -> seen barrier         : the driver merges only (key, hashcode)
-         columns across shards, routes codes to the seen shards in global
-         order, and scatters verdicts back
-      -> enqueue              : each shard appends its new survivors to
-         its IP queues (every IP queue lives wholly in one shard, so
-         local sorted order == global order per queue)
+      -> seen merge           : fully actor-to-actor — each scheduler
+         shard splits its survivors' key/hash columns by owning seen
+         shard; each seen shard lexsorts its hash-subset by the (unique)
+         admission key — equal to the global order restricted to that
+         subset — and tests first-wins; the driver only wires refs
+      -> enqueue              : each scheduler shard scatters the seen
+         shards' verdict slices back onto its survivors and appends the
+         new ones to its IP queues (every IP queue lives wholly in one
+         shard, so local sorted order == global order per queue)
 
 The fetch+parse stage runs as a Ray Data ``map_batches`` pipeline when
 the tick is large (>= cfg.ray_data_min_tick_rows — the cluster-scale
@@ -190,9 +193,6 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
             ray.kill(a)
 
 
-_ADMIT_T: dict[str, float] = {}   # LARBIN_TICK_DEBUG phase breakdown
-
-
 def _fire_pre_admit(sched, dup_parents: list[tuple],
                     robots_by_shard: dict[int, list] | None = None,
                     n_seen: int = 1) -> list[list]:
@@ -228,8 +228,11 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     own hash-subset by the (unique) admission key, which equals the
     global order restricted to that subset, so the outcome is
     bit-identical to a driver-side global merge.  Returns the
-    per-seen-shard urlDup count refs — callers settle them lazily
-    (_apply_dups), off the tick's critical path."""
+    per-seen-shard urlDup count refs plus the apply_verdicts result
+    refs — callers settle BOTH lazily (_apply_dups), off the tick's
+    critical path; getting the apply refs there surfaces any failure
+    in the verdict scatter (a fire-and-forget error would silently
+    drop that barrier's survivors from the frontier)."""
     n_seen = cfg.num_seen_shards
     n_sched = len(sched)
     pre = prefired if prefired is not None else _fire_pre_admit(
@@ -241,19 +244,26 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
                 n_sched, [pre[sid][j] for sid in range(n_sched)]))
         dup_refs.append(rets[0])
         seen_parts.append(rets[1:])
-    for sid in range(n_sched):
-        sched[sid].apply_verdicts.remote(
-            [seen_parts[j][sid] for j in range(n_seen)])
-    return dup_refs
+    apply_refs = [sched[sid].apply_verdicts.remote(
+        [seen_parts[j][sid] for j in range(n_seen)])
+        for sid in range(n_sched)]
+    return dup_refs, apply_refs
 
 
 def _apply_dups(res: CrawlResult, pending: list, metrics_rows=None) -> None:
-    """Settle accumulated urlDup count refs IN BARRIER ORDER.  Each
-    entry is (metrics_row_index | None, refs); row entries fill their
-    tick's cum_url_dup.  Called at checkpoint boundaries and at run
-    end — the only points that read res.answers['urlDup']."""
-    for row_idx, refs in pending:
-        dups = int(sum(ray.get(refs)))
+    """Settle accumulated admission-chain refs IN BARRIER ORDER, in one
+    batched ray.get.  Each entry is (metrics_row_index | None,
+    dup_count_refs, apply_verdicts_refs); row entries fill their tick's
+    cum_url_dup.  Getting the apply refs here (values discarded) also
+    propagates any error from the verdict scatter — without it a failed
+    apply_verdicts would silently drop survivors.  Called at checkpoint
+    boundaries and at run end — the only points that read
+    res.answers['urlDup']."""
+    flat = ([r for _, dups, _a in pending for r in dups]
+            + [r for _, _d, applies in pending for r in applies])
+    vals = iter(ray.get(flat))      # one round-trip; raises on chain error
+    for row_idx, dup_refs, _applies in pending:
+        dups = int(sum(next(vals) for _ in dup_refs))
         if dups:        # never materialize a zero key (oracle parity)
             res.answers["urlDup"] += dups
         if row_idx is not None and metrics_rows is not None:
@@ -303,7 +313,7 @@ def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen,
         if key[0]:      # test=1: the check()-path admission barrier
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in entries_by_shard.items()])
-            pending_dup.append((None, _admit_barrier(res, cfg, sched, seen, [])))
+            pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
         else:           # test=0: set without test + forced enqueue
             codes = np.asarray(hcs, dtype=np.int64)
             mod = codes % n_seen
@@ -321,7 +331,6 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
     phase_t: dict[str, float] = {}
-    _ADMIT_T.clear()   # per-run accumulator (else totals bleed across crawls)
     watcher = None
     if watch_file is not None:
         from larbin_ray.sources.submit import SubmissionWatcher
@@ -394,7 +403,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     # urlDup count refs from every barrier settle lazily in barrier
     # order — the chain itself is the per-actor-ordered barrier
     pending_dup: list[tuple] = []
-    pending_dup.append((None, _admit_barrier(res, cfg, sched, seen, [])))
+    pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
 
     # ---- tick loop ----
     for tick in range(start_tick, max_ticks):
@@ -421,7 +430,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     inj_entries.setdefault(sid, []).append(_check_entry(0, i, u))
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in inj_entries.items()])
-            pending_dup.append((None, _admit_barrier(res, cfg, sched, seen, [])))
+            pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
         _t0 = _time.time()
         # num_returns=3 splits each shard's (robots, dispatch table,
         # queued) into separate objects: the driver reads all three
@@ -646,9 +655,10 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("meta", _t0)
 
         _t0 = _time.time()
-        dup_refs = _admit_barrier(res, cfg, sched, seen, dup_parents,
-                                  robots_by_shard=robots_payload,
-                                  prefired=pre_futs)
+        dup_refs, apply_refs = _admit_barrier(res, cfg, sched, seen,
+                                              dup_parents,
+                                              robots_by_shard=robots_payload,
+                                              prefired=pre_futs)
         _clk("admit", _t0)
 
         metrics_rows.append({
@@ -658,7 +668,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             "cum_success": int(res.answers["success"]),
             "cum_url_dup": -1,      # filled by _apply_dups at settle
         })
-        pending_dup.append((len(metrics_rows) - 1, dup_refs))
+        pending_dup.append((len(metrics_rows) - 1, dup_refs, apply_refs))
         if (checkpoint_dir and cfg.checkpoint_every
                 and (tick + 1) % cfg.checkpoint_every == 0):
             from larbin_ray.pipelines.checkpoint import write_checkpoint
@@ -680,13 +690,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                              ck_answers, metrics_rows,
                              failures=ck_failures, max_host_ram=ck_host_ram)
         if debug:
+            # nb: 'admit' times only the ref wiring — the chain itself
+            # runs actor-side and overlaps the NEXT tick's begin phase
             print(f"[tick {tick}] rows={tbl.num_rows} " +
-                  " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())) +
-                  " | " + " ".join(f"adm.{k}={v:.2f}"
-                                   for k, v in sorted(_ADMIT_T.items())),
+                  " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())),
                   flush=True)
             phase_t.clear()
-            _ADMIT_T.clear()
 
         if cfg.limit_page and res.answers["success"] >= cfg.limit_page:
             break

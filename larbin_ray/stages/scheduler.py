@@ -12,9 +12,12 @@ IPSite invariant, site.cxx:424-436).
 Determinism: barrier + sort — ``submit_links``/``prefeed_links``
 buffer entries in any arrival order; ``pre_admit_links`` sorts by the
 global admission key and runs the initOK fast-fails sequentially;
-``enqueue_verdicts`` admits the seen-survivors in that order.  All
-dispatch rows carry the global (tick, ip, sub) key, so the merged
-crawl order is independent of shard count and CPU count.
+``pre_admit_split`` partitions the survivors' key/hash columns by
+owning seen shard, each seen shard merge-sorts and tests its subset,
+and ``apply_verdicts`` admits the seen-survivors in that order (the
+driver only wires refs between the tiers).  All dispatch rows carry
+the global (tick, ip, sub) key, so the merged crawl order is
+independent of shard count and CPU count.
 """
 
 from __future__ import annotations
@@ -82,11 +85,11 @@ class SchedulerShardCore:
     # within a tick); at the tick barrier ``pre_admit_links`` sorts by
     # the global admission key (prio, ip, sub, order), drops candidates
     # whose parent page was a content-duplicate, runs the initOK
-    # fast-fails, and keeps the survivors locally.  The driver only
-    # merges the survivors' *keys + hash codes* across shards for the
-    # seen-set phase, then returns per-shard verdict booleans; the
-    # shard enqueues its own survivors (each IP queue lives wholly in
-    # one shard, so local sorted order == global order per queue).
+    # fast-fails, and keeps the survivors locally.  The seen-set phase
+    # is actor-to-actor (pre_admit_split -> BitsetShard.test_set_merged
+    # -> apply_verdicts below); the shard enqueues its own survivors
+    # (each IP queue lives wholly in one shard, so local sorted order
+    # == global order per queue).
 
     def submit_links(self, entries: list[tuple]) -> None:
         """entries: (prio, ip, sub, order, host, port, file, depth,
@@ -250,10 +253,7 @@ class SchedulerShardCore:
         for idx, verd in _ray.get(list(parts_refs)):
             if len(idx):
                 v[idx] = verd
-        new = [r for r, keep in zip(self._survivors, v) if keep]
-        self.core.enqueue(new)
-        self._survivors = []
-        return len(new)
+        return self.enqueue_verdicts(v)
 
     def resolve_new_hosts(self, tick: int) -> list[dict]:
         return self.core.resolve_new_hosts(tick)
