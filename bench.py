@@ -118,8 +118,16 @@ def run_bench() -> dict:
     # ~70 ms of fixed barrier cost per tick (38 s total) — the budget
     # must stay well above per-IP per-tick fan-out or tick count
     # explodes.
+    # Shard counts size the POLITENESS/ADMISSION tier, whose per-shard
+    # python work (pre_admit fast-fails, queue pops) is the inter-wave
+    # pipeline bubble: at design-scale tick volume the per-tick 'begin'
+    # phase measured 9.2 s/crawl at 8 shards vs 4.2 s at 16 (8 CPUs,
+    # 1.6M web); 32 shards gains nothing more and inflates the per-task
+    # return fan-out.  On a real cluster this tier scales with node
+    # count — 16/8 models that; output is shard-count-invariant by
+    # design (e2e suite asserts it).
     cfg = CrawlConfig(wait_duration=0, depth_by_site=True,
-                      num_scheduler_shards=8, num_seen_shards=4,
+                      num_scheduler_shards=16, num_seen_shards=8,
                       parse_batch_size=512, max_dispatch_per_ip=1024)
     # untimed warmup: saturate the FULL worker pool (a small crawl only
     # spawns a few workers; the first big tick then stalls ~20s while Ray

@@ -234,9 +234,16 @@ def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
     in the verdict scatter (a fire-and-forget error would silently
     drop that barrier's survivors from the frontier)."""
     n_seen = cfg.num_seen_shards
-    n_sched = len(sched)
     pre = prefired if prefired is not None else _fire_pre_admit(
         sched, dup_parents, robots_by_shard, n_seen)
+    return _wire_chain(sched, seen, pre)
+
+
+def _wire_chain(sched, seen, pre) -> tuple[list, list]:
+    """Wire the seen-merge + verdict-scatter refs for an already-fired
+    pre_admit round.  Pure ref plumbing — no data touches the driver
+    and nothing is waited on."""
+    n_sched, n_seen = len(sched), len(seen)
     dup_refs, seen_parts = [], []
     for j, shard in enumerate(seen):
         rets = list(shard.test_set_merged.options(
@@ -405,6 +412,21 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     pending_dup: list[tuple] = []
     pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
 
+    # throughput-mode fast path: when nothing out-of-band can feed or
+    # observe a tick boundary (no watcher/injection between ticks, no
+    # checkpoint reading the frontier, no limit that can stop the loop
+    # mid-frontier), the NEXT tick's begin_tick can fire at wave end,
+    # right behind apply_verdicts in each shard's actor queue — the
+    # shards dispatch tick T+1 while the driver does tick T's ctrl
+    # work, taking the admission-chain + dispatch latency off the
+    # serial path.  (A prefired-but-unconsumed begin would pop queues
+    # and resolve hosts the oracle never sees, hence the limit /
+    # max_ticks gates; robots and content-dup feed the admission, so
+    # those keep the late barrier.)
+    prefire_ok = (watcher is None and not inject and checkpoint_dir is None
+                  and not cfg.limit_page and not cfg.limit_time)
+    next_begin = None
+
     # ---- tick loop ----
     for tick in range(start_tick, max_ticks):
         # limitTime on the simulated clock: tick k starts at
@@ -437,8 +459,11 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         # (the table read is a zero-copy plasma map), but the TASKS get
         # the table refs directly — the tick table is never re-serialized
         # through a driver ray.put
-        begin_futs = [s.begin_tick.options(num_returns=3).remote(tick)
-                      for s in sched]
+        if next_begin is not None:
+            begin_futs, next_begin = next_begin, None
+        else:
+            begin_futs = [s.begin_tick.options(num_returns=3).remote(tick)
+                          for s in sched]
         _flat = ray.get([r for f in begin_futs for r in f])
         begins = [tuple(_flat[i:i + 3]) for i in range(0, len(_flat), 3)]
         _clk("begin", _t0)
@@ -493,6 +518,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 _os.remove(_patch)
         _clk("concat", _t0)
         pre_futs = None     # set when admission is fired early at wave end
+        chain = None        # set when the WHOLE chain is wired at wave end
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
@@ -545,6 +571,15 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 # the shards' sort+fast-fail now, overlapped with the
                 # driver's ctrl processing below
                 pre_futs = _fire_pre_admit(sched, [], None, n_seen)
+                if prefire_ok and tick + 1 < max_ticks:
+                    # wire the whole chain and fire the NEXT begin now:
+                    # per-actor ordering runs begin_tick(T+1) right
+                    # after apply_verdicts(T), overlapped with the
+                    # driver's ctrl processing below
+                    chain = _wire_chain(sched, seen, pre_futs)
+                    next_begin = [
+                        s.begin_tick.options(num_returns=3).remote(tick + 1)
+                        for s in sched]
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
             _clk("taskwave", _t0)
 
@@ -655,10 +690,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("meta", _t0)
 
         _t0 = _time.time()
-        dup_refs, apply_refs = _admit_barrier(res, cfg, sched, seen,
-                                              dup_parents,
-                                              robots_by_shard=robots_payload,
-                                              prefired=pre_futs)
+        if chain is not None:
+            dup_refs, apply_refs = chain
+        else:
+            dup_refs, apply_refs = _admit_barrier(
+                res, cfg, sched, seen, dup_parents,
+                robots_by_shard=robots_payload, prefired=pre_futs)
         _clk("admit", _t0)
 
         metrics_rows.append({
