@@ -250,7 +250,25 @@ def run_scaling() -> dict:
     repeats = int(os.environ.get("GRAFT_SCALING_BEST_OF", "3"))
     n_lo, n_hi = (int(x) for x in pair.split(","))
 
+    # load gate: this shared host takes external load bursts (1-min
+    # loadavg swings 0-15 on a ~15 min cadence) that inflate any
+    # multi-minute sample; waiting for a quiet window before EACH
+    # subprocess sample measures the engine, not the neighbors.  Set
+    # GRAFT_LOAD_GATE=0 to disable (e.g. on a dedicated host).
+    gate = float(os.environ.get("GRAFT_LOAD_GATE", "1.5"))
+
+    def wait_quiet() -> None:
+        if gate <= 0:
+            return
+        deadline = time.time() + 1800
+        while time.time() < deadline:
+            with open("/proc/loadavg") as f:
+                if float(f.read().split()[0]) < gate:
+                    return
+            time.sleep(30)
+
     def run(ncpu: int) -> dict:
+        wait_quiet()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
