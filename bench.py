@@ -257,18 +257,26 @@ def run_scaling() -> dict:
     # GRAFT_LOAD_GATE=0 to disable (e.g. on a dedicated host).
     gate = float(os.environ.get("GRAFT_LOAD_GATE", "1.5"))
 
-    def wait_quiet() -> None:
+    def wait_quiet() -> bool:
+        """True iff the host went quiet before the sample launched.  A
+        30-min deadline keeps a sustained-load afternoon from hanging
+        the protocol forever, but an ungated sample is NOT citable
+        (BASELINE.md) — the caller marks it in the result JSON."""
         if gate <= 0:
-            return
+            return True
         deadline = time.time() + 1800
         while time.time() < deadline:
-            with open("/proc/loadavg") as f:
-                if float(f.read().split()[0]) < gate:
-                    return
+            if os.getloadavg()[0] < gate:
+                return True
             time.sleep(30)
+        return False
+
+    ungated = 0
 
     def run(ncpu: int) -> dict:
-        wait_quiet()
+        nonlocal ungated
+        if not wait_quiet():
+            ungated += 1
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
@@ -292,6 +300,9 @@ def run_scaling() -> dict:
     return {
         "outputs_identical": True,
         "crawl_state_hash": hashes.pop(),
+        # >0 flags samples that launched after the 30-min gate deadline
+        # under sustained load — such a run is not citable (BASELINE.md)
+        "gate_timed_out_samples": ungated,
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",

@@ -64,6 +64,10 @@ def _dispatch_table(rows: list[dict]) -> pa.Table:
 # the driver, the parse tasks and checkpoint restore
 _route_host = route_host
 
+# ticks between forced settles of the lazy admission-chain refs; see the
+# settle site in _run_crawl (tests patch this down to exercise the path)
+_SETTLE_EVERY = 256
+
 
 def _process_batch(batch: pa.Table, fetch_fn, parse: ParseExtract,
                    sched, n_sched: int, sink_dir: str | None = None,
@@ -216,7 +220,7 @@ def _fire_pre_admit(sched, dup_parents: list[tuple],
 def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
                    dup_parents: list[tuple],
                    robots_by_shard: dict[int, list] | None = None,
-                   prefired: list | None = None) -> list:
+                   prefired: list | None = None) -> tuple[list, list]:
     """pre_admit -> seen-merge -> verdict scatter, fully actor-to-actor:
     the driver only WIRES refs (each scheduler shard's per-seen-shard
     payload to its seen shard, each seen shard's per-origin verdict
@@ -706,6 +710,15 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             "cum_url_dup": -1,      # filled by _apply_dups at settle
         })
         pending_dup.append((len(metrics_rows) - 1, dup_refs, apply_refs))
+        # bound the lazy-settle window: without checkpoints a long crawl
+        # would otherwise accumulate O(ticks x (n_seen + n_sched)) live
+        # ObjectRefs on the driver, each pinning its (tiny) result in
+        # the owner store — at design scale (millions of ticks) that is
+        # tens of millions of pinned objects.  256 ticks back the chain
+        # has long finished, so this get returns immediately and keeps
+        # throughput mode's flat-driver-memory contract.
+        if len(pending_dup) >= _SETTLE_EVERY:
+            _apply_dups(res, pending_dup, metrics_rows)
         if (checkpoint_dir and cfg.checkpoint_every
                 and (tick + 1) % cfg.checkpoint_every == 0):
             from larbin_ray.pipelines.checkpoint import write_checkpoint

@@ -374,6 +374,25 @@ def test_long_crawl_throughput_mode(ray_session):
     assert rss_after - rss_before < 200_000   # < ~200 MB in KiB units
 
 
+def test_periodic_admission_settle_parity(ray_session, monkeypatch):
+    """The bounded lazy-settle window (crawl._SETTLE_EVERY): forcing a
+    settle every 3 ticks over a 100+-tick politeness crawl is
+    bit-identical to the default 256-tick window — urlDup counts land
+    in the same answers histogram and order keys are unchanged."""
+    from larbin_ray.pipelines import crawl as crawl_mod
+
+    web = gen_web(500, 4, seed=42)
+    seeds = default_seeds(4)
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2)
+    base = crawl_mod.ray_crawl(web, seeds, cfg)
+    assert max(r["tick"] for r in base.fetched) >= 100
+    monkeypatch.setattr(crawl_mod, "_SETTLE_EVERY", 3)
+    tight = crawl_mod.ray_crawl(web, seeds, cfg)
+    assert sorted(base.order_keys()) == sorted(tight.order_keys())
+    assert dict(base.answers) == dict(tight.answers)
+
+
 def test_limit_time_and_limit_page_parity(ray_session, web, seeds):
     """limitTime (limit_time.cxx:40) on the simulated clock — tick k
     starts at k*waitDuration seconds — and limitPage (main.cxx:139-142)
