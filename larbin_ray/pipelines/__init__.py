@@ -23,13 +23,18 @@ def worker_stage(cls, *args):
 
     A callable class passed to ``map_batches(Cls, concurrency=N)`` spawns
     a fresh actor pool on every pipeline run (~1-2 s measured on this
-    host) — the right trade only when ``__init__`` is expensive (model
-    load, codec state, a broadcast matrix: see multimodal stages,
-    KnnScorer).  For stages whose setup is microseconds (compiled
-    regexes, marker sets, seeded RNG), a module-level instance cache
-    gives the same setup-once-per-worker property on the already-warm
-    task pool: ``ds.map_batches(lambda df: worker_stage(Cls, a)(df))``.
-    ``args`` must be hashable and fully determine the instance."""
+    host, growing with pool size) — the right trade only when
+    ``__init__`` is expensive (model load, codec state: see the
+    multimodal stages).  For stages whose setup is microseconds to
+    milliseconds (compiled regexes, marker sets, seeded RNG, an
+    object-store get of a small broadcast matrix — KnnScorer/IvfScorer),
+    a module-level instance cache gives the same setup-once-per-worker
+    property on the already-warm task pool:
+    ``ds.map_batches(lambda df: worker_stage(Cls, a)(df))``.
+    ``args`` must be hashable and fully determine the instance; an
+    ObjectRef arg keys the cache per run, so instances never alias
+    across runs on a long-lived worker (stale entries are tiny and
+    bounded by runs-per-process)."""
     key = (cls, args)
     inst = _WORKER_STAGES.get(key)
     if inst is None:

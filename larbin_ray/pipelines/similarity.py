@@ -55,9 +55,10 @@ def _topk_rows(qid: int, ids: np.ndarray, sims: np.ndarray, k: int):
 
 
 class KnnScorer:
-    """Actor-pool stage: holds the normalized query matrix (fetched from
-    the object store once per actor).  Emits only each batch's local
-    top-k per query (self-matches excluded batch-side)."""
+    """Per-worker stage (pipelines.worker_stage): holds the normalized
+    query matrix, fetched from the object store once per worker per run.
+    Emits only each batch's local top-k per query (self-matches excluded
+    batch-side)."""
 
     def __init__(self, queries_ref, k: int):
         qids, qmat = ray.get(queries_ref)
@@ -102,15 +103,21 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10,
     """Top-k cosine neighbors of the ``n_queries`` smallest vec_ids
     (excluding self).  Per-batch local top-k -> driver merge of the
     tiny Q x k x n_blocks partials."""
-    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines import pool_size, worker_stage
     pool = concurrency or pool_size()
     ds = load_embeddings(sf_dir, min_blocks=pool)
     qids, qmat = _query_rows(sf_dir, n_queries)
     queries_ref = ray.put((qids, qmat))
 
-    scored = ds.map_batches(KnnScorer, fn_constructor_args=(queries_ref, k),
-                            batch_format="pandas", concurrency=pool,
-                            batch_size=1024)
+    # task-pool + per-worker instance cache, not an actor pool: setup is
+    # one object-store get of a tiny Q x D matrix (ms), while spinning a
+    # fresh actor pool costs ~1-2 s and grows with CPU count (8 actors at
+    # 32 CPUs) — the same trade that halved quality_scores in round 3.
+    # The ref keys the cache, so a new run's state never aliases an old
+    # instance on a long-lived worker.
+    scored = ds.map_batches(
+        lambda df: worker_stage(KnnScorer, queries_ref, k)(df),
+        batch_format="pandas", batch_size=1024)
     partials = scored.to_pandas()       # Q x k x n_blocks rows only
     top = (partials.sort_values(["query_id", "sim", "neighbor_id"],
                                 ascending=[True, False, True])
@@ -199,7 +206,8 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
 
 
 class _HyperplaneBander:
-    """Actor-pool stage: signs against a broadcast random-hyperplane
+    """Per-worker stage (pipelines.worker_stage): signs against a
+    broadcast random-hyperplane
     matrix -> one row per (band, key) with the normalized vector riding
     along (the vector is shuffled once per band to its buckets)."""
 
@@ -284,9 +292,13 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.7,
 
     from larbin_ray.pipelines.reduce import hash_reduce
 
+    # task-pool + per-worker cache (see knn_bruteforce note): the plane
+    # matrix is planes x D floats, trivially re-fetched per worker
+    from larbin_ray.pipelines import worker_stage
     banded = ds.map_batches(
-        _HyperplaneBander, fn_constructor_args=(planes_ref, bands, n_buckets),
-        batch_format="pandas", concurrency=pool, batch_size=1024)
+        lambda df: worker_stage(_HyperplaneBander, planes_ref, bands,
+                                n_buckets)(df),
+        batch_format="pandas", batch_size=1024)
     pairs = (banded.groupby("bucket")
              .map_groups(lambda g: _verify_bucket(g, threshold),
                          batch_format="pandas"))
@@ -327,7 +339,8 @@ def ivf_build_centroids(mat: np.ndarray, n_cells: int, iters: int = 5) -> np.nda
 
 
 class IvfScorer:
-    """Actor-pool stage: holds centroids + per-query probe sets; each
+    """Per-worker stage (pipelines.worker_stage): holds centroids +
+    per-query probe sets; each
     batch assigns its vectors to cells and scores only the vectors that
     fall in a probed cell (the pruning that makes IVF the 10^10-scale
     path), then keeps its local top-k per query."""
@@ -378,9 +391,12 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
     state_ref = ray.put((cent, qids, q, probe))
 
-    scored = ds.map_batches(IvfScorer, fn_constructor_args=(state_ref, k),
-                            batch_format="pandas", batch_size=1024,
-                            concurrency=pool).to_pandas()
+    # task-pool + per-worker cache (see knn_bruteforce note): the IVF
+    # state is a few KB, the actor-pool spin-up dominated the query
+    from larbin_ray.pipelines import worker_stage
+    scored = ds.map_batches(
+        lambda df: worker_stage(IvfScorer, state_ref, k)(df),
+        batch_format="pandas", batch_size=1024).to_pandas()
     top = (scored.sort_values(["query_id", "sim", "neighbor_id"],
                               ascending=[True, False, True])
            .groupby("query_id").head(k).reset_index(drop=True))
