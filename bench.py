@@ -126,9 +126,14 @@ def run_bench() -> dict:
     # return fan-out.  On a real cluster this tier scales with node
     # count — 16/8 models that; output is shard-count-invariant by
     # design (e2e suite asserts it).
+    # parse_batch_size=0 = auto (~2 task waves per CPU per tick): at
+    # design-scale tick volume a fixed 512 splits a 30k-row tick into
+    # ~60 tasks x (1 + 16) return refs whose submit cost binds the
+    # driver at low CPU counts; auto sizes the task count to the
+    # executor (config.py rationale; output invariant by test)
     cfg = CrawlConfig(wait_duration=0, depth_by_site=True,
                       num_scheduler_shards=16, num_seen_shards=8,
-                      parse_batch_size=512, max_dispatch_per_ip=1024)
+                      parse_batch_size=0, max_dispatch_per_ip=1024)
     # untimed warmup: saturate the FULL worker pool (a small crawl only
     # spawns a few workers; the first big tick then stalls ~20s while Ray
     # forks and imports the rest of the pool all at once)

@@ -91,7 +91,15 @@ class CrawlConfig:
     num_scheduler_shards: int = 8    # host/IP scheduler actor pool size
     num_seen_shards: int = 4         # URL-seen bitset shard actors
     fetch_concurrency: int = 4       # fetch-join actor pool
-    parse_batch_size: int = 256      # rows per parse map_batches batch
+    # rows per fetch+parse task/batch.  0 = auto: size tasks to the
+    # EXECUTOR, not the data — ceil(tick_rows / (2 x cluster CPUs)),
+    # clamped to [512, 16384], so a tick always yields ~2 waves of
+    # tasks per CPU regardless of tick volume.  A fixed small batch at
+    # design-scale tick volume (30k+ rows) pays per-task submit +
+    # return-ref fan-out (1 + num_scheduler_shards returns per task)
+    # that binds the driver long before the workers saturate; output
+    # is batch-size-invariant (test_parse_batch_size_invariance).
+    parse_batch_size: int = 256
     # ticks with at least this many rows run fetch+parse as a Ray Data
     # streaming pipeline instead of plain tasks (same batch function,
     # oracle-parity-tested either way).  Measured single-node (round 4,

@@ -342,6 +342,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
     phase_t: dict[str, float] = {}
+    # cluster CPU count for the auto parse-batch policy (one lookup)
+    _n_cpus = max(1, int(ray.cluster_resources().get("CPU", 4)))
     watcher = None
     if watch_file is not None:
         from larbin_ray.sources.submit import SubmissionWatcher
@@ -499,7 +501,10 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         parts = ([rob_tbl] if rob_tbl is not None else [])
         parts += [b[1] for b in begins if b[1].num_rows]
         tbl = pa.concat_tables(parts)
-        bs = cfg.parse_batch_size
+        # parse_batch_size=0 -> auto: ~2 task waves per CPU per tick
+        # (config.py rationale); crawl output is batch-size-invariant
+        bs = cfg.parse_batch_size or min(
+            16384, max(512, -(-tbl.num_rows // (2 * _n_cpus))))
         # the sink is ALWAYS task/batch-side (distributed, resumable);
         # under page_no_duplicate the statuses resolved to `duplicate` at
         # the dup barrier are recorded in a tiny per-tick sidecar that

@@ -374,6 +374,21 @@ def test_long_crawl_throughput_mode(ray_session):
     assert rss_after - rss_before < 200_000   # < ~200 MB in KiB units
 
 
+def test_parse_batch_size_invariance(ray_session, web, seeds, oracle_result):
+    """Crawl output must not depend on how ticks are sliced into
+    fetch+parse tasks: tiny batches, big batches, and the auto policy
+    (parse_batch_size=0, ~2 waves per CPU) all reproduce the oracle
+    bit-for-bit."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    for bs in (0, 64, 1024):
+        cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                          num_scheduler_shards=3, num_seen_shards=2,
+                          parse_batch_size=bs)
+        e = ray_crawl(web, seeds, cfg)
+        assert_same_crawl(oracle_result, e)
+
+
 def test_periodic_admission_settle_parity(ray_session, monkeypatch):
     """The bounded lazy-settle window (crawl._SETTLE_EVERY): forcing a
     settle every 3 ticks over a 100+-tick politeness crawl is
