@@ -278,13 +278,27 @@ def run_scaling() -> dict:
 
     ungated = 0
 
+    # OS-level CPU pinning (taskset) makes each sample a faithful
+    # N-core machine: ray.init(num_cpus=N) only budgets TASK slots —
+    # actors (the 16/8 scheduler/seen tier) hold 0 CPU while alive and
+    # otherwise run unthrottled on all host cores, which overstates the
+    # lo side exactly in proportion to how much work the engine
+    # delegates to the actor tier.  GRAFT_PIN=0 restores the old
+    # unpinned protocol (e.g. if taskset is unavailable).
+    import shutil as _shutil
+    pin = (os.environ.get("GRAFT_PIN", "1") != "0"
+           and _shutil.which("taskset") is not None)
+
     def run(ncpu: int) -> dict:
         nonlocal ungated
         if not wait_quiet():
             ungated += 1
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True, check=True)
+        argv = [sys.executable, os.path.abspath(__file__)]
+        if pin:
+            argv = ["taskset", "-c", f"0-{ncpu - 1}"] + argv
+        p = subprocess.run(argv, env=env, capture_output=True, text=True,
+                           check=True)
         lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
         return json.loads(lines[-1])
 
@@ -308,6 +322,7 @@ def run_scaling() -> dict:
         # >0 flags samples that launched after the 30-min gate deadline
         # under sustained load — such a run is not citable (BASELINE.md)
         "gate_timed_out_samples": ungated,
+        "pinned": pin,
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
