@@ -239,10 +239,11 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same input, fresh processes at N and 4N CPUs -> efficiency.
 
-    Default pair is (2, 8): this host exposes 32 logical CPUs over 16
-    physical cores, so 8-vs-32 crosses the hyperthread boundary and
-    caps the measurable compute speedup near 2.4x regardless of the
-    engine (see BASELINE.md).  Override with GRAFT_SCALING_PAIR=8,32.
+    Default pair is (2, 8), pinned to that many cores via taskset (see
+    the `pin` note below): a (8, 32) pair would leave the hi side no
+    spare cores for the raylet/GCS and the external-load bursts this
+    host takes, so its hi samples are dominated by whatever else runs.
+    Override with GRAFT_SCALING_PAIR=8,32.
 
     Noise protocol (BASELINE.md "Measurement protocol"): the pair is
     run GRAFT_SCALING_BEST_OF times (default 3), interleaved lo/hi so
