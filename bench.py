@@ -288,7 +288,12 @@ def run_scaling() -> dict:
     # unpinned protocol (e.g. if taskset is unavailable).
     import shutil as _shutil
     pin = (os.environ.get("GRAFT_PIN", "1") != "0"
-           and _shutil.which("taskset") is not None)
+           and _shutil.which("taskset") is not None
+           # a pair that exceeds the online CPUs (e.g. 8,32 on a
+           # 16-CPU box) cannot be pinned faithfully — fall back to
+           # the unpinned protocol rather than abort mid-run, and say
+           # so in the result ("pinned": false)
+           and n_hi <= len(os.sched_getaffinity(0)))
 
     def run(ncpu: int) -> dict:
         nonlocal ungated

@@ -33,11 +33,16 @@ def worker_stage(cls, *args):
     ``ds.map_batches(lambda df: worker_stage(Cls, a)(df))``.
     ``args`` must be hashable and fully determine the instance; an
     ObjectRef arg keys the cache per run, so instances never alias
-    across runs on a long-lived worker (stale entries are tiny and
-    bounded by runs-per-process)."""
+    across runs on a long-lived worker.  One instance per class is
+    kept: inserting a new key evicts that class's stale entries, so a
+    serving process that runs many queries never accumulates instances
+    or pins old broadcast objects (a worker-held ObjectRef keeps its
+    plasma object alive)."""
     key = (cls, args)
     inst = _WORKER_STAGES.get(key)
     if inst is None:
+        for k in [k for k in _WORKER_STAGES if k[0] is cls]:
+            del _WORKER_STAGES[k]
         inst = _WORKER_STAGES[key] = cls(*args)
     return inst
 

@@ -719,11 +719,17 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         # would otherwise accumulate O(ticks x (n_seen + n_sched)) live
         # ObjectRefs on the driver, each pinning its (tiny) result in
         # the owner store — at design scale (millions of ticks) that is
-        # tens of millions of pinned objects.  256 ticks back the chain
-        # has long finished, so this get returns immediately and keeps
-        # throughput mode's flat-driver-memory contract.
+        # tens of millions of pinned objects.  The two most recent
+        # entries stay in flight (the current tick's chain — and its
+        # prefired successor — may still be running; settling them here
+        # would serialize the wave-end overlap), so the batched get
+        # only touches chains that finished ticks ago and returns
+        # immediately, keeping throughput mode's flat-driver-memory
+        # contract.  Settling a prefix preserves barrier order.
         if len(pending_dup) >= _SETTLE_EVERY:
-            _apply_dups(res, pending_dup, metrics_rows)
+            older = pending_dup[:-2]
+            del pending_dup[:-2]
+            _apply_dups(res, older, metrics_rows)
         if (checkpoint_dir and cfg.checkpoint_every
                 and (tick + 1) % cfg.checkpoint_every == 0):
             from larbin_ray.pipelines.checkpoint import write_checkpoint

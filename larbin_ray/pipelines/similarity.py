@@ -102,7 +102,9 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10,
                    concurrency: int | None = None) -> pd.DataFrame:
     """Top-k cosine neighbors of the ``n_queries`` smallest vec_ids
     (excluding self).  Per-batch local top-k -> driver merge of the
-    tiny Q x k x n_blocks partials."""
+    tiny Q x k x n_blocks partials.  ``concurrency`` now sets only the
+    MINIMUM read block count (task-pool parallelism floor); the scorer
+    runs on the shared task pool, not a dedicated actor pool."""
     from larbin_ray.pipelines import pool_size, worker_stage
     pool = concurrency or pool_size()
     ds = load_embeddings(sf_dir, min_blocks=pool)
@@ -276,7 +278,9 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.7,
     in-bucket cosine verification -> groupby(pair) dedupe.  Approximate:
     recall vs the exact join is 1 - (1 - p^r)^b with p = 1 - theta/pi;
     the defaults give >0.99 for cosine >= 0.7.  Deterministic planes
-    (fixed seed) so results are stable across runs and workers."""
+    (fixed seed) so results are stable across runs and workers.
+    ``concurrency`` now sets only the MINIMUM read block count (the
+    bander runs on the shared task pool)."""
     from larbin_ray.pipelines import pool_size
     from larbin_ray.pipelines.relational import _table_rows
     from larbin_ray.pipelines.textops import shuffle_buckets
@@ -375,10 +379,11 @@ class IvfScorer:
 def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10, n_cells: int = 16,
             nprobe: int = 4) -> pd.DataFrame:
     """IVF-style ANN as a Ray Data pipeline: centroids trained on a
-    driver-side sample (small), then an actor-pool map_batches stage
-    assigns+prunes+scores per batch against the broadcast (centroids,
-    queries, probe sets) and emits per-batch local top-k; the driver
-    merges only Q x k x n_blocks pruned partials."""
+    driver-side sample (small), then a per-worker map_batches stage
+    (pipelines.worker_stage on the shared task pool) assigns+prunes+
+    scores per batch against the broadcast (centroids, queries, probe
+    sets) and emits per-batch local top-k; the driver merges only
+    Q x k x n_blocks pruned partials."""
     from larbin_ray.pipelines import pool_size
 
     pool = pool_size()
