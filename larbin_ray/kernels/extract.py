@@ -391,18 +391,53 @@ def admit_link(nouv: Url, here: Url, is_redir: bool, cfg: CrawlConfig,
     result.candidates.append(Candidate(nouv, is_redir, order))
 
 
+# Per-actor parse memo cap: href -> (host, port, file) entries are tiny
+# (~100 B), so half a million ≈ 50 MB per worker; past that the cache is
+# dropped wholesale (hits are front-loaded — popular nav links re-enter
+# within one batch).
+_MEMO_CAP = 1 << 19
+
+
 def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
-                  _domains=None, _forb=None) -> ExtractResult:
+                  _domains=None, _forb=None,
+                  url_memo: dict | None = None) -> ExtractResult:
     """Full per-page extraction: scan + base handling + admission chain.
     ``here`` is the fetched page's URL; depth of extracted links is
     ``here.depth - 1`` (file.cxx:764); redirects keep the same depth and
-    are admitted separately via ``admit_link(..., is_redir=True)``."""
+    are admitted separately via ``admit_link(..., is_redir=True)``.
+
+    ``url_memo`` (optional, owned by the calling actor) caches
+    ``parse_url`` results keyed by the raw href plus the base identity it
+    resolves against — links repeat heavily across a site's pages (nav
+    bars, footers), so the normalize/parse chain runs once per distinct
+    href.  The memo stores only the immutable (host, port, file) triple;
+    every admission still gets a fresh ``Url`` (``admit_link`` mutates
+    depth/cookie per page)."""
     result = ExtractResult([], [])
     base: Url | None = here.give_base()
     order = 0
+    depth = here.depth - 1
     for action, value in parse_html(body, cfg.get_image, cfg.get_cgi):
         if action == _LINK:
-            nouv = parse_url(value, here.depth - 1, base)
+            if url_memo is None:
+                nouv = parse_url(value, depth, base)
+            else:
+                # absolute parses ignore the base; relative ones resolve
+                # against (host, port, file) of the current base
+                if value.startswith(b"http://"):
+                    key = value
+                elif base is None:
+                    key = (value,)
+                else:
+                    key = (value, base.host, base.port, base.file)
+                hit = url_memo.get(key)
+                if hit is None:
+                    nouv = parse_url(value, depth, base)
+                    if len(url_memo) >= _MEMO_CAP:
+                        url_memo.clear()
+                    url_memo[key] = (nouv.host, nouv.port, nouv.file)
+                else:
+                    nouv = Url(hit[0], hit[1], hit[2], depth)
             admit_link(nouv, here, False, cfg, order, result, _domains, _forb)
             order += 1
         else:  # BASE, file.cxx:766-790

@@ -74,7 +74,8 @@ def timed_out(raw: bytes, latency_ms: int, cfg: CrawlConfig) -> bool:
 
 def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
               domains, forb, priv_exts: tuple[bytes, ...] = (),
-              cookie: bytes | None = None, latency_ms: int = 0
+              cookie: bytes | None = None, latency_ms: int = 0,
+              url_memo: dict | None = None
               ) -> tuple[str, bytes, int, bool, list[dict], list[str]]:
     """-> (status, text, content_hash, interesting, links, stateless_errors).
 
@@ -105,7 +106,7 @@ def parse_one(url_s: str, depth: int, raw: bytes, cfg: CrawlConfig,
         return r.status, b"", -1, False, [], []
     here.cookie = r.cookie          # Set-Cookie capture before link admission
     chash = content_dup_code(r.body) if cfg.page_no_duplicate else -1
-    res = extract_links(here, r.body, cfg, domains, forb)
+    res = extract_links(here, r.body, cfg, domains, forb, url_memo=url_memo)
     return "success", r.body, chash, r.interesting, candidate_dicts(res, priv_exts), res.errors
 
 
@@ -118,6 +119,15 @@ class ParseExtract:
         self.forb = cfg.forbidden_ext_bytes()
         self.priv_exts = (tuple(e.encode() for e in cfg.privileged_exts)
                           if cfg.specific_search else ())
+        # Per-actor caches (live across batches and ticks).  Links repeat
+        # heavily across a site's pages, so the href -> (host, port, file)
+        # parse memo and the (host, port, file) -> hashCode memo each turn
+        # the per-candidate cost into one dict probe after first sight.
+        # Capped (extract._MEMO_CAP / here) by wholesale clear — the hot
+        # keys re-enter within a batch.
+        self._url_memo: dict = {}
+        self._hash_memo: dict = {}
+        self._route_cache: dict[bytes, int] = {}
 
     def parse_to_entries(self, batch: pa.Table, n_sched: int
                          ) -> tuple[pa.Table, dict[int, list]]:
@@ -145,7 +155,12 @@ class ParseExtract:
             else [0] * len(urls)
         statuses, texts, chashes, interests, err_col = [], [], [], [], []
         entries_by_shard: dict[int, list] = {}
-        route_cache: dict[bytes, int] = {}
+        route_cache = self._route_cache
+        hash_memo = self._hash_memo
+        if len(route_cache) >= 1 << 19:
+            route_cache.clear()
+        if len(hash_memo) >= 1 << 19:
+            hash_memo.clear()
         for i, (url_s, depth, is_rob, raw, ck) in enumerate(
                 zip(urls, depths, robots_flags, raws, cookies)):
             raw = raw or b""
@@ -167,16 +182,22 @@ class ParseExtract:
                 continue
             p_ip, p_sub = ips[i], subs[i]
             for c in res.candidates:
-                host = c.url.host
+                cu = c.url
+                host = cu.host
                 sid = route_cache.get(host)
                 if sid is None:
                     sid = route_host(host, n_sched, puny)
                     route_cache[host] = sid
                 prio = 0 if (self.priv_exts
-                             and match_priv_ext(c.url.file, self.priv_exts)) else 1
+                             and match_priv_ext(cu.file, self.priv_exts)) else 1
+                hkey = (host, cu.port, cu.file)
+                hc = hash_memo.get(hkey)
+                if hc is None:
+                    hc = cu.hash_code()
+                    hash_memo[hkey] = hc
                 entries_by_shard.setdefault(sid, []).append(
-                    (prio, p_ip, p_sub, c.order, host, c.url.port, c.url.file,
-                     c.url.depth, c.url.hash_code(), p_ip, p_sub, c.url.cookie))
+                    (prio, p_ip, p_sub, c.order, host, cu.port, cu.file,
+                     cu.depth, hc, p_ip, p_sub, cu.cookie))
         cols = {
             "url": batch["url"],
             "depth": batch["depth"],
@@ -217,7 +238,8 @@ class ParseExtract:
             return r.status, b"", -1, False, None
         here.cookie = r.cookie
         chash = content_dup_code(r.body) if cfg.page_no_duplicate else -1
-        res = extract_links(here, r.body, cfg, self.domains, self.forb)
+        res = extract_links(here, r.body, cfg, self.domains, self.forb,
+                            url_memo=self._url_memo)
         return "success", r.body, chash, r.interesting, res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -248,7 +270,7 @@ class ParseExtract:
                 continue
             st, text, ch, inter, links, errs = parse_one(
                 url_s, depth, raw, cfg, self.domains, self.forb,
-                self.priv_exts, ck, lat or 0)
+                self.priv_exts, ck, lat or 0, url_memo=self._url_memo)
             statuses.append(st)
             texts.append(text)
             chashes.append(ch)
