@@ -79,6 +79,7 @@ class SchedulerShardCore:
         self.core = SchedulerCore(cfg)
         self._buffer: list[tuple] = []   # (akey, host, port, file, depth)
         self._batch_tokens: set[str] = set()   # submit_links_once dedup
+        self._ip_enc_cache: dict[str, tuple[int, int]] = {}  # ip -> int64 pair
 
     # ---- actor-to-actor link flow (no per-candidate driver work) ----
     # Parse tasks push link entries here directly (any arrival order
@@ -189,15 +190,23 @@ class SchedulerShardCore:
         # the string order (dotted quads are <= 15 ASCII bytes), so the
         # driver lexsort runs on pure int64 columns and the per-survivor
         # encoding cost lands here — parallel across shards — instead
-        # of serially on the driver.
-        ip_bytes = [r.akey[1].encode("latin-1")[:16].ljust(16, b"\0")
-                    for r in self._survivors]
+        # of serially on the driver.  The encode is memoized per distinct
+        # ip (a tick's survivors share a handful of parent IPs).
+        enc = self._ip_enc_cache
+        hi_l, lo_l = [], []
+        for r in self._survivors:
+            ip = r.akey[1]
+            pair = enc.get(ip)
+            if pair is None:
+                b = ip.encode("latin-1")[:16].ljust(16, b"\0")
+                pair = (int.from_bytes(b[:8], "big"), int.from_bytes(b[8:], "big"))
+                enc[ip] = pair
+            hi_l.append(pair[0])
+            lo_l.append(pair[1])
         return {
             "prio": np.asarray([r.akey[0] for r in self._survivors], dtype=np.int64),
-            "ip_hi": np.asarray([int.from_bytes(b[:8], "big") for b in ip_bytes],
-                                dtype=np.int64),
-            "ip_lo": np.asarray([int.from_bytes(b[8:], "big") for b in ip_bytes],
-                                dtype=np.int64),
+            "ip_hi": np.asarray(hi_l, dtype=np.int64),
+            "ip_lo": np.asarray(lo_l, dtype=np.int64),
             "sub": np.asarray([r.akey[2] for r in self._survivors], dtype=np.int64),
             "order": np.asarray([r.akey[3] for r in self._survivors], dtype=np.int64),
             "hash": np.asarray([r.hc for r in self._survivors], dtype=np.int64),

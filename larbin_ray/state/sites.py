@@ -99,8 +99,23 @@ class SchedulerCore:
         self.resolve = resolve
         # getPunycode parity: with cfg.punycode the NamedSite identity and
         # the DNS query use the xn-- form (newId site.cxx:404, strcmp
-        # comparisons at site.cxx:142,361,447); without it, raw bytes
-        self.site_key = (lambda h: puny_host(h)) if cfg.punycode else (lambda h: h)
+        # comparisons at site.cxx:142,361,447); without it, raw bytes.
+        # Memoized per host: site_key runs per candidate in fast_check and
+        # _route, and even puny_host's ASCII fast path scans every byte —
+        # the cache is bounded by the shard's distinct-host count.
+        if cfg.punycode:
+            _sk_cache: dict[bytes, bytes] = {}
+
+            def _site_key(h: bytes, _c=_sk_cache) -> bytes:
+                k = _c.get(h)
+                if k is None:
+                    k = puny_host(h)
+                    _c[h] = k
+                return k
+
+            self.site_key = _site_key
+        else:
+            self.site_key = lambda h: h
         self.hosts: dict[tuple[bytes, int], HostState] = {}
         self.ips: dict[str, IPState] = {}
         self.unresolved: list[tuple[bytes, int]] = []   # creation order
@@ -272,6 +287,12 @@ class SchedulerCore:
         # generation size (the sequencer/Interval analog)
         budget = (self.cfg.max_dispatch_per_ip or None) if drain else 1
         cap = self.cfg.max_urls_by_site
+        # bound method / list-append lookups hoisted: this loop runs once
+        # per dispatched url (the whole tick volume)
+        a_url, a_host, a_port = cols["url"].append, cols["host"].append, cols["port"].append
+        a_ip, a_depth, a_rob = cols["ip"].append, cols["depth"].append, cols["is_robots"].append
+        a_tick, a_sub, a_ck = cols["tick"].append, cols["sub"].append, cols["cookie"].append
+        host_dec_cache: dict[bytes, str] = {}
         for ip_str in sorted(self.ips):
             st = self.ips[ip_str]
             if not st.queue:
@@ -284,15 +305,24 @@ class SchedulerCore:
                     h = self.hosts.get((self.site_key(rec.host), rec.port))
                     if h is not None:
                         h.nburls -= 1
-                cols["url"].append(rec.url_str())
-                cols["host"].append(rec.host.decode("latin-1"))
-                cols["port"].append(rec.port)
-                cols["ip"].append(ip_str)
-                cols["depth"].append(rec.depth)
-                cols["is_robots"].append(False)
-                cols["tick"].append(tick)
-                cols["sub"].append(sub)
-                cols["cookie"].append(rec.cookie)
+                # inline url_str (url.cxx:433-439 writeUrl): port elided at 80
+                if rec.port == 80:
+                    a_url((b"http://" + rec.host + rec.file).decode("latin-1"))
+                else:
+                    a_url((b"http://%s:%u%s" % (rec.host, rec.port, rec.file))
+                          .decode("latin-1"))
+                hs = host_dec_cache.get(rec.host)
+                if hs is None:
+                    hs = rec.host.decode("latin-1")
+                    host_dec_cache[rec.host] = hs
+                a_host(hs)
+                a_port(rec.port)
+                a_ip(ip_str)
+                a_depth(rec.depth)
+                a_rob(False)
+                a_tick(tick)
+                a_sub(sub)
+                a_ck(rec.cookie)
                 sub += 1
                 if budget is not None and sub >= budget:
                     break
