@@ -48,7 +48,7 @@ from larbin_ray.kernels.urlnorm import parse_url
 from larbin_ray.oracle.simcrawl import CrawlResult
 from larbin_ray.pipelines.extract import from_table
 from larbin_ray.stages.fetch import make_fetch_fn, put_pages
-from larbin_ray.stages.parse import ParseExtract
+from larbin_ray.stages.parse import ParseExtract, worker_parse_extract
 from larbin_ray.stages.scheduler import (DISPATCH_SCHEMA, SchedulerShard,
                                          route_host)
 from larbin_ray.stages.seen import BitsetShard, gather_seen_indices
@@ -138,7 +138,9 @@ def _process_task(tick_refs: list, offset: int, length: int,
     tbl = pa.concat_tables(ray.get(list(tick_refs)))
     batch = tbl.slice(offset, length)
     fetch_fn = make_fetch_fn(pages_ref_holder[0])
-    out, entries_by_shard = ParseExtract(cfg).parse_to_entries(
+    # per-worker instance (not per-task): keeps the href/hashCode memos
+    # alive across tasks and ticks on the warm worker pool
+    out, entries_by_shard = worker_parse_extract(cfg).parse_to_entries(
         fetch_fn(batch), n_sched)
     if sink_path is not None:
         import os
@@ -365,7 +367,6 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     n_seen = cfg.num_seen_shards
     pages_ref = put_pages(pages)
     fetch_fn = make_fetch_fn(pages_ref)
-    parse = ParseExtract(cfg)
     res = CrawlResult()
     if not build_rows:
         res.n_fetched = 0
@@ -532,8 +533,12 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
             ds = from_table(tbl, blocks).map_batches(
-                lambda b: _process_batch(b, fetch_fn, parse, sched, n_sched,
-                                         sink_dir, ship_text),
+                # worker_parse_extract resolves worker-side: the memos
+                # persist across batches instead of deserializing the
+                # driver's instance fresh per task
+                lambda b: _process_batch(b, fetch_fn,
+                                         worker_parse_extract(cfg), sched,
+                                         n_sched, sink_dir, ship_text),
                 batch_format="pyarrow", batch_size=bs)
             ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:

@@ -295,6 +295,28 @@ class ParseExtract:
         return pa.table(cols)
 
 
+_WORKER_PE: dict = {}
+
+
+def worker_parse_extract(cfg: CrawlConfig) -> ParseExtract:
+    """Per-worker-process ParseExtract cache for the TASK-based crawl
+    path (``_process_task`` is a stateless Ray task; a fresh instance
+    per task would drop the href/hashCode memos every batch).  Keyed by
+    the pickled config so runs with different configs never alias; one
+    instance is kept (inserting a new key evicts the old), so a
+    long-lived worker serving many crawls holds one memo set.  Reuse
+    across runs of the SAME config is sound: the memoized functions
+    (parse_url, hashCode, shard routing) are pure in (cfg, inputs)."""
+    import pickle
+
+    key = pickle.dumps(cfg)
+    pe = _WORKER_PE.get(key)
+    if pe is None:
+        _WORKER_PE.clear()
+        pe = _WORKER_PE[key] = ParseExtract(cfg)
+    return pe
+
+
 def links_from_row(links_cell: list[dict]) -> list[tuple[Url, bool, int]]:
     return [
         (Url(d["host"], d["port"], d["file"], d["depth"]), d["redir"], d["order"])
