@@ -363,16 +363,22 @@ class ExtractResult:
 
 def admit_link(nouv: Url, here: Url, is_redir: bool, cfg: CrawlConfig,
                order: int, result: ExtractResult,
-               _domains=None, _forb=None) -> None:
+               _domains=None, _forb=None, prechecked: bool = False) -> None:
     """manageUrl (file.cxx:329-357) + the stateless half of initOK
     (url.cxx:343-369): validity, filter1, external-link policy, lockSite
     => outSite, depthBySite reset, depth<0 => tooDeep.  The cached-DNS /
     cached-robots fast-fails (url.cxx:371-389) run later in the
-    scheduler shard that owns the host."""
-    if not nouv.is_valid():
-        return
-    if not filter1(nouv.host, nouv.file, cfg, _domains, _forb):
-        return
+    scheduler shard that owns the host.
+
+    ``prechecked=True`` skips is_valid + filter1 — the memoized
+    extract_links path already classified this (host, file) pair (both
+    checks are pure in (url, cfg)); the per-page policy below (external
+    links, lockSite, depth, cookies) always runs."""
+    if not prechecked:
+        if not nouv.is_valid():
+            return
+        if not filter1(nouv.host, nouv.file, cfg, _domains, _forb):
+            return
     if not (cfg.external_links or is_redir or nouv.host == here.host):
         return
     # initOK stateless part
@@ -433,11 +439,27 @@ def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
                 hit = url_memo.get(key)
                 if hit is None:
                     nouv = parse_url(value, depth, base)
+                    # classify once: is_valid + filter1 are pure in
+                    # (url, cfg) — rejects are silent drops, so a cached
+                    # reject skips even the Url construction next time
+                    admitted = (nouv.is_valid()
+                                and filter1(nouv.host, nouv.file, cfg,
+                                            _domains, _forb))
                     if len(url_memo) >= _MEMO_CAP:
                         url_memo.clear()
-                    url_memo[key] = (nouv.host, nouv.port, nouv.file)
-                else:
+                    url_memo[key] = (nouv.host, nouv.port, nouv.file,
+                                     admitted)
+                    if admitted:
+                        admit_link(nouv, here, False, cfg, order, result,
+                                   _domains, _forb, prechecked=True)
+                    order += 1
+                    continue
+                if hit[3]:
                     nouv = Url(hit[0], hit[1], hit[2], depth)
+                    admit_link(nouv, here, False, cfg, order, result,
+                               _domains, _forb, prechecked=True)
+                order += 1
+                continue
             admit_link(nouv, here, False, cfg, order, result, _domains, _forb)
             order += 1
         else:  # BASE, file.cxx:766-790

@@ -17,8 +17,20 @@ def start_with(a: bytes, b: bytes) -> bool:
     return True
 
 
+# b -> b | 0x20 for every byte: the reference's case fold as a C-speed
+# translate table (NOT tolower — '\r' | 0x20 == '-' etc., see module doc)
+_OR20 = bytes(c | 0x20 for c in range(256))
+
+
 def start_with_ignore_case(amin: bytes, b: bytes, offset: int = 0) -> bool:
-    """text.cxx:77-83: ``amin[i] == (b[i] | 0x20)``; amin must be lowercase."""
+    """text.cxx:77-83: ``amin[i] == (b[i] | 0x20)``; amin must be lowercase.
+
+    Fast path: when the window is fully inside ``b``, a translate+compare
+    runs at C speed.  Past-the-end bytes read as NUL in the reference
+    (``0 | 0x20 == 0x20``), so short buffers take the exact loop."""
+    end = offset + len(amin)
+    if end <= len(b):
+        return b[offset:end].translate(_OR20) == amin
     for i, ca in enumerate(amin):
         j = offset + i
         cb = b[j] if j < len(b) else 0
@@ -33,15 +45,12 @@ def end_with(a: bytes, b: bytes) -> bool:
 
 
 def end_with_ignore_case(amin: bytes, b: bytes) -> bool:
-    """text.cxx:97-109: suffix compare with ``| 0x20``."""
-    la, lb = len(amin), len(b)
-    if la > lb:
+    """text.cxx:97-109: suffix compare with ``| 0x20`` (in-bounds by the
+    length guard, so the translate+compare is exact)."""
+    la = len(amin)
+    if la > len(b):
         return False
-    diff = lb - la
-    for i in range(la):
-        if amin[i] != (b[diff + i] | 0x20):
-            return False
-    return True
+    return b[len(b) - la:].translate(_OR20) == amin
 
 
 def case_contain(a: bytes, b: bytes) -> bool:
