@@ -529,6 +529,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         _clk("concat", _t0)
         pre_futs = None     # set when admission is fired early at wave end
         chain = None        # set when the WHOLE chain is wired at wave end
+        robots_sent = False  # robots results already rode the pre_admit RPC
         if used_ray_data:
             # cluster-scale path: Ray Data streaming pipeline
             blocks = max(1, min(64, tbl.num_rows // bs))
@@ -585,15 +586,39 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 # the shards' sort+fast-fail now, overlapped with the
                 # driver's ctrl processing below
                 pre_futs = _fire_pre_admit(sched, [], None, n_seen)
-                if prefire_ok and tick + 1 < max_ticks:
-                    # wire the whole chain and fire the NEXT begin now:
-                    # per-actor ordering runs begin_tick(T+1) right
-                    # after apply_verdicts(T), overlapped with the
-                    # driver's ctrl processing below
-                    chain = _wire_chain(sched, seen, pre_futs)
-                    next_begin = [
-                        s.begin_tick.options(num_returns=3).remote(tick + 1)
-                        for s in sched]
+            elif dup is None and not build_rows:
+                # robots tick, throughput mode: the robots results sit in
+                # the first ceil(n_rob/bs) task metas — all complete at
+                # wave end — and the late robots_mid pass reads the SAME
+                # rows in the SAME order (throughput mode never sorts
+                # ctrl; it is the concat of these metas).  Extract them
+                # now and let them ride the pre_admit RPC, so robots
+                # ticks overlap the admission chain too.  (build_rows /
+                # dup mode keeps the late barrier: there the robots
+                # application order follows the sorted ctrl.)
+                rob_metas = ray.get(
+                    [f[0] for f in futs[:-(-len(robots_rows) // bs)]])
+                payload: dict[int, list] = {}
+                for mt in rob_metas:
+                    mrob = mt["is_robots"].to_numpy(zero_copy_only=False)
+                    for i in np.flatnonzero(mrob):
+                        i = int(i)
+                        host_b = mt["host"][i].as_py().encode("latin-1")
+                        sid = _route_host(host_b, n_sched, cfg.punycode)
+                        payload.setdefault(sid, []).append(
+                            (host_b, mt["port"][i].as_py(),
+                             mt["text"][i].as_py()))
+                pre_futs = _fire_pre_admit(sched, [], payload, n_seen)
+                robots_sent = True
+            if pre_futs is not None and prefire_ok and tick + 1 < max_ticks:
+                # wire the whole chain and fire the NEXT begin now:
+                # per-actor ordering runs begin_tick(T+1) right
+                # after apply_verdicts(T), overlapped with the
+                # driver's ctrl processing below
+                chain = _wire_chain(sched, seen, pre_futs)
+                next_begin = [
+                    s.begin_tick.options(num_returns=3).remote(tick + 1)
+                    for s in sched]
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
             _clk("taskwave", _t0)
 
@@ -675,15 +700,17 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         res.answers.update({v["values"]: v["counts"] for v in _vc.to_pylist()})
 
         # robots bodies -> owning shards (per-index scalar access: the
-        # robots rows are few — no full host/port column materialization)
-        rob_idx = np.flatnonzero(is_rob)
+        # robots rows are few — no full host/port column materialization).
+        # Skipped when the payload already rode a wave-end pre_admit.
         robots_payload: dict[int, list] = {}
-        for i in rob_idx:
-            i = int(i)
-            host_b = ctrl["host"][i].as_py().encode("latin-1")
-            sid = _route_host(host_b, n_sched, cfg.punycode)
-            robots_payload.setdefault(sid, []).append(
-                (host_b, ctrl["port"][i].as_py(), ctrl["text"][i].as_py()))
+        if not robots_sent:
+            rob_idx = np.flatnonzero(is_rob)
+            for i in rob_idx:
+                i = int(i)
+                host_b = ctrl["host"][i].as_py().encode("latin-1")
+                sid = _route_host(host_b, n_sched, cfg.punycode)
+                robots_payload.setdefault(sid, []).append(
+                    (host_b, ctrl["port"][i].as_py(), ctrl["text"][i].as_py()))
         _clk("robots_mid", _t0)
         _t0 = _time.time()
 
