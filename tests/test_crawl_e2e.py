@@ -374,6 +374,23 @@ def test_long_crawl_throughput_mode(ray_session):
     assert rss_after - rss_before < 200_000   # < ~200 MB in KiB units
 
 
+def test_throughput_mode_robots_prefire_state(ray_session, web, seeds):
+    """Drain-mode throughput crawl (build_rows=False, dup off) takes the
+    wave-end robots prefire path on every robots tick; the web's a./b.
+    subdomains share domain 0's IP, so robots results applying in a
+    different order would reorder that IP's queue.  The URL-seen set and
+    answers histogram must still equal the oracle's bit-for-bit."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    cfg0 = CrawlConfig(wait_duration=0, depth_by_site=True,
+                       num_scheduler_shards=3, num_seen_shards=2)
+    o = oracle_crawl(web, seeds, cfg0)
+    e = ray_crawl(web, seeds, cfg0, build_rows=False)
+    assert dict(o.answers) == dict(e.answers)
+    assert np.array_equal(o.seen_indices, e.seen_indices)
+    assert e.fetched_count() == len(o.fetched)
+
+
 def test_parse_batch_size_invariance(ray_session, web, seeds, oracle_result):
     """Crawl output must not depend on how ticks are sliced into
     fetch+parse tasks: tiny batches, big batches, and the auto policy
