@@ -56,6 +56,13 @@ _RX_VAL_STOP_NOCGI = re.compile(rb"[\"' \n>\r\t?=*]")
 # is included even when get_image is off because that dispatch arm also
 # just continues.
 _RX_TAG_OPEN = re.compile(rb"<(?:!|[ \n\r\t]*[aAbBlLfFiI])")
+# Param fast path: the first word after the tag name is almost always
+# the wanted parameter itself ("<a href=...").  These match the generic
+# loop's first iteration exactly — same space class, same case-fold
+# (byte|32 on [a-zA-Z] == the two-case classes) — so a hit replaces the
+# per-char compare; a miss falls through to the loop untouched.
+_RX_PARAM_HREF = re.compile(rb"[ \n\r\t]*[hH][rR][eE][fF]")
+_RX_PARAM_SRC = re.compile(rb"[ \n\r\t]*[sS][rR][cC]")
 
 
 def _strchr(buf: bytes, ch: int, start: int) -> int:
@@ -280,28 +287,41 @@ def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, b
             continue
 
         # find the parameter
-        while p < n and body[p] in _SPACES:
-            p += 1
         found = False
         plen = len(param)
-        while True:
-            i = 0
-            while i < plen and param[i] == ((body[p + i] | 32) if p + i < n else 32):
-                i += 1
-            p += i
+        # fast path: first word IS the parameter (equivalent to the
+        # generic loop's first iteration fully matching — beyond-EOF
+        # compares as a space there, which never equals a param letter,
+        # so a regex hit and an i == plen first pass coincide exactly)
+        m = (_RX_PARAM_HREF if plen == 4 else _RX_PARAM_SRC).match(body, p)
+        if m is not None:
+            p = m.end()
             while p < n and body[p] in _SPACES:
                 p += 1
-            look = body[p + i] if p + i < n else 0  # posParse[i] lookahead quirk
-            if look == 0x3E or look == 0:
-                break
-            if i == plen:
+            look = body[p + plen] if p + plen < n else 0  # posParse quirk
+            if look != 0x3E and look != 0:
                 found = True
-                break
-            # nextWord(): skipText + skipSpace
-            m = _RX_TEXT_STOP.search(body, p)
-            p = m.start() if m is not None else n
+        else:
             while p < n and body[p] in _SPACES:
                 p += 1
+            while True:
+                i = 0
+                while i < plen and param[i] == ((body[p + i] | 32) if p + i < n else 32):
+                    i += 1
+                p += i
+                while p < n and body[p] in _SPACES:
+                    p += 1
+                look = body[p + i] if p + i < n else 0  # posParse[i] lookahead quirk
+                if look == 0x3E or look == 0:
+                    break
+                if i == plen:
+                    found = True
+                    break
+                # nextWord(): skipText + skipSpace
+                m = _RX_TEXT_STOP.search(body, p)
+                p = m.start() if m is not None else n
+                while p < n and body[p] in _SPACES:
+                    p += 1
         if not found:
             continue
 
