@@ -91,6 +91,15 @@ class CrawlConfig:
     num_scheduler_shards: int = 8    # host/IP scheduler actor pool size
     num_seen_shards: int = 4         # URL-seen bitset shard actors
     fetch_concurrency: int = 4       # fetch-join actor pool
+    # pages-table publication (stages/fetch.py): 1 = single broadcast
+    # object + per-worker full url index (small-corpus fast path);
+    # B > 1 = hash-partition into B crc32(url)%B buckets, workers hold
+    # only touched buckets under an LRU cap; 0 = auto — one bucket per
+    # fetch_bucket_bytes of html so a corpus bigger than a comfortable
+    # broadcast partitions itself.  Both paths are output-identical
+    # (tests/test_fetch_buckets.py).
+    fetch_num_buckets: int = 0
+    fetch_bucket_bytes: int = 4 << 30
     # rows per fetch+parse task/batch.  0 = auto: size tasks to the
     # EXECUTOR, not the data — ceil(tick_rows / (2 x cluster CPUs)),
     # clamped to [512, 16384], so a tick always yields ~2 waves of

@@ -127,8 +127,9 @@ def _process_task(tick_refs: list, offset: int, length: int,
     driver involvement; the driver then only ever sees slim metadata
     (text retained for robots rows, and for all rows in keep_text mode).
     """
-    # the pages ref travels inside a list so Ray does not auto-dereference
-    # it — the per-worker fetch index cache is keyed by the ref.
+    # pages_ref_holder is put_pages()'s bucket-ref list (len 1 = the
+    # broadcast fast path); refs nested in a list are not
+    # auto-dereferenced — the per-worker fetch index caches key on them.
     # tick_refs holds the tick's dispatch-table refs (the optional robots
     # table the driver put, then each scheduler shard's begin_tick table
     # IN SHARD ORDER — the shard tables are actor-return objects already
@@ -137,7 +138,7 @@ def _process_task(tick_refs: list, offset: int, length: int,
     # own window)
     tbl = pa.concat_tables(ray.get(list(tick_refs)))
     batch = tbl.slice(offset, length)
-    fetch_fn = make_fetch_fn(pages_ref_holder[0])
+    fetch_fn = make_fetch_fn(pages_ref_holder)
     # per-worker instance (not per-task): keeps the href/hashCode memos
     # alive across tasks and ticks on the warm worker pool
     out, entries_by_shard = worker_parse_extract(cfg).parse_to_entries(
@@ -365,8 +366,13 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
 
     n_sched = cfg.num_scheduler_shards
     n_seen = cfg.num_seen_shards
-    pages_ref = put_pages(pages)
-    fetch_fn = make_fetch_fn(pages_ref)
+    n_buckets = cfg.fetch_num_buckets
+    if n_buckets == 0:   # auto: partition when the corpus outgrows a broadcast
+        hb = (pages.column("html").nbytes
+              if "html" in pages.column_names else 0)
+        n_buckets = max(1, -(-hb // cfg.fetch_bucket_bytes))
+    pages_refs = put_pages(pages, n_buckets)
+    fetch_fn = make_fetch_fn(pages_refs)
     res = CrawlResult()
     if not build_rows:
         res.n_fetched = 0
@@ -553,7 +559,7 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             task = _process_task.options(num_returns=1 + n_sched)
             futs = [
                 task.remote(
-                    tick_refs, i, bs, [pages_ref], cfg, n_sched,
+                    tick_refs, i, bs, pages_refs, cfg, n_sched,
                     f"{sink_dir}/part-{i // bs}.parquet" if task_sink else None,
                     ship_text)
                 for i in range(0, tbl.num_rows, bs)]

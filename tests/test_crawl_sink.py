@@ -150,7 +150,7 @@ def test_pages_broadcast_uses_large_offsets(ray_session):
 
     web = gen_web(64, 4, seed=7)
     ref = put_pages(web)
-    stored = ray.get(ref)
+    stored = ray.get(ref[0])
     assert stored["html"].type == pa.large_binary()
     assert stored["html"].num_chunks == 1
 

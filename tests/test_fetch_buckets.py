@@ -1,0 +1,96 @@
+"""Hash-partitioned fetch path (stages/fetch.py bucketed mode).
+
+The broadcast index is the small-corpus fast path; past
+``cfg.fetch_bucket_bytes`` of page bytes :func:`put_pages` partitions
+the corpus into ``crc32(url) % B`` buckets and the fetch fn holds only
+the buckets its batches touch (LRU-capped).  These tests pin the two
+paths output-identical at the function level AND over a whole crawl,
+including url misses (synthesized 404), the latency column, and the
+LRU eviction path.
+"""
+
+import pyarrow as pa
+import pytest
+
+from larbin_ray.config import CrawlConfig
+from larbin_ray.pipelines.crawl import ray_crawl
+from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+
+def _frontier_batch(web: pa.Table, extra_miss: bool = True) -> pa.Table:
+    urls = web["url"].to_pylist()[:40]
+    # interleave order so one batch spans many buckets out of url order
+    urls = urls[1::2] + urls[0::2]
+    if extra_miss:
+        urls.insert(3, "http://nosuchhost.example/missing.html")
+        urls.append("http://miss2.example/")
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def test_bucketed_fetch_fn_matches_broadcast(ray_session):
+    from larbin_ray.stages import fetch as F
+
+    web = gen_web(120, 8, seed=11)
+    assert "latency_ms" in web.column_names
+    batch = _frontier_batch(web)
+
+    ref_b = F.put_pages(web, 1)
+    out_broadcast = F.make_fetch_fn(ref_b)(batch)
+    refs = F.put_pages(web, 5)
+    assert len(refs) == 5
+    out_bucketed = F.make_fetch_fn(refs)(batch)
+
+    assert out_bucketed.equals(out_broadcast)
+    # misses synthesize the 404 on both paths
+    i = batch["url"].to_pylist().index("http://miss2.example/")
+    assert out_bucketed["html"].to_pylist()[i] == F.SYNTH_404
+    assert out_bucketed["latency_ms"].to_pylist()[i] == 0
+
+
+def test_bucketed_fetch_lru_eviction(ray_session, monkeypatch):
+    """Correct output even when the LRU holds fewer buckets than the
+    corpus has — every batch re-pulls evicted buckets transparently."""
+    from larbin_ray.stages import fetch as F
+
+    web = gen_web(96, 6, seed=13)
+    batch = _frontier_batch(web)
+    expect = F.make_fetch_fn(F.put_pages(web, 1))(batch)
+
+    monkeypatch.setattr(F, "MAX_CACHED_BUCKETS", 2)
+    F._BUCKET_CACHE.clear()
+    refs = F.put_pages(web, 7)
+    fn = F.make_fetch_fn(refs)
+    got1 = fn(batch)
+    got2 = fn(batch)           # second pass goes through evict/reload
+    assert len(F._BUCKET_CACHE) <= 2
+    assert got1.equals(expect) and got2.equals(expect)
+
+
+def test_empty_batch_bucketed(ray_session):
+    from larbin_ray.stages import fetch as F
+
+    web = gen_web(32, 4, seed=3)
+    refs = F.put_pages(web, 3)
+    out = F.make_fetch_fn(refs)(pa.table({"url": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out.column_names == ["url", "html", "latency_ms"]
+
+
+@pytest.mark.parametrize("bucket_cfg", [dict(fetch_num_buckets=4),
+                                        dict(fetch_bucket_bytes=1 << 12)])
+def test_crawl_parity_bucketed_vs_broadcast(ray_session, bucket_cfg):
+    """Whole-crawl equality: explicit B and the auto-by-bytes rule both
+    produce the exact crawl the broadcast path produces (order keys,
+    statuses, answers histogram)."""
+    web = gen_web(240, 12, seed=42)
+    seeds = default_seeds(12)
+    base = dict(page_no_duplicate=True, depth_by_site=True, wait_duration=0,
+                num_scheduler_shards=3, num_seen_shards=2)
+
+    ref = ray_crawl(web, seeds, CrawlConfig(**base, fetch_num_buckets=1))
+    got = ray_crawl(web, seeds, CrawlConfig(**base, **bucket_cfg))
+
+    key = ("url", "tick", "ip", "sub", "status", "is_robots", "depth")
+    assert [{k: r[k] for k in key} for r in got.fetched_sorted()] == \
+           [{k: r[k] for k in key} for r in ref.fetched_sorted()]
+    assert got.answers == ref.answers
