@@ -417,11 +417,16 @@ def admit_link(nouv: Url, here: Url, is_redir: bool, cfg: CrawlConfig,
     result.candidates.append(Candidate(nouv, is_redir, order))
 
 
-# Per-actor parse memo cap: href -> (host, port, file) entries are tiny
-# (~100 B), so half a million ≈ 50 MB per worker; past that the cache is
-# dropped wholesale (hits are front-loaded — popular nav links re-enter
-# within one batch).
+# Per-actor parse memo caps: typical href -> (host, port, file) entries
+# are ~100 B, so half a million ≈ 50 MB per worker — but keys carry the
+# raw href (≤ maxUrlSize 1024 B) plus the base identity, so a corpus of
+# many distinct LONG hrefs could reach GBs under an entry cap alone.
+# The memo therefore also tracks approximate bytes (under the _MEMO_BYTES
+# sentinel key) and is dropped wholesale at whichever cap hits first
+# (hits are front-loaded — popular nav links re-enter within one batch).
 _MEMO_CAP = 1 << 19
+_MEMO_MAX_BYTES = 64 << 20
+_MEMO_BYTES = "\x00bytes"   # sentinel key (real keys are bytes/tuples)
 
 
 def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
@@ -465,8 +470,14 @@ def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
                     admitted = (nouv.is_valid()
                                 and filter1(nouv.host, nouv.file, cfg,
                                             _domains, _forb))
-                    if len(url_memo) >= _MEMO_CAP:
+                    if (len(url_memo) >= _MEMO_CAP
+                            or url_memo.get(_MEMO_BYTES, 0) >= _MEMO_MAX_BYTES):
                         url_memo.clear()
+                    url_memo[_MEMO_BYTES] = (
+                        url_memo.get(_MEMO_BYTES, 0) + len(value)
+                        + (len(key[3]) if isinstance(key, tuple)
+                           and len(key) == 4 else 0)
+                        + len(nouv.host or b"") + len(nouv.file or b"") + 160)
                     url_memo[key] = (nouv.host, nouv.port, nouv.file,
                                      admitted)
                     if admitted:

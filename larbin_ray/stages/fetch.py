@@ -120,6 +120,18 @@ def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
     return refs
 
 
+def _build_index(table: pa.Table) -> tuple:
+    """(url->row dict, html array view, latency np array) for one pages
+    table/bucket — the single definition both cache policies share."""
+    idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
+    lat = (table["latency_ms"].combine_chunks().to_numpy()
+           if "latency_ms" in table.column_names else None)
+    html = table["html"]
+    if html.num_chunks == 1:
+        html = html.chunk(0)     # zero-copy Array view: fast take()
+    return (idx, html, lat)
+
+
 def _index_for(pages_ref) -> tuple:
     """Per-worker cached (url->row dict, html ChunkedArray, latency
     list).  The dict build is a one-time ~0.5 s per worker (amortized
@@ -130,38 +142,26 @@ def _index_for(pages_ref) -> tuple:
     key = pages_ref.hex()
     hit = _INDEX_CACHE.get(key)
     if hit is None:
-        table = ray.get(pages_ref)
-        idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
-        lat = (table["latency_ms"].combine_chunks().to_numpy()
-               if "latency_ms" in table.column_names else None)
-        html = table["html"]
-        if html.num_chunks == 1:
-            html = html.chunk(0)     # zero-copy Array view: fast take()
-        hit = (idx, html, lat)
+        hit = _build_index(ray.get(pages_ref))
         _INDEX_CACHE.clear()   # one pages table per crawl; don't leak old ones
+        _BUCKET_CACHE.clear()  # nor the other mode's per-bucket indexes
         _INDEX_CACHE[key] = hit
     return hit
 
 
 def _load_bucket(ref) -> tuple:
-    """Per-worker LRU-cached (url->row dict, html array, latency np
-    array) for ONE bucket of a partitioned corpus.  Unlike
-    :func:`_index_for`, many buckets coexist (a worker's batches span
-    buckets) but never more than ``MAX_CACHED_BUCKETS`` — worker memory
-    is bounded by bucket size x cap, not corpus size."""
+    """Per-worker LRU-cached index for ONE bucket of a partitioned
+    corpus.  Unlike :func:`_index_for`, many buckets coexist (a
+    worker's batches span buckets) but never more than
+    ``MAX_CACHED_BUCKETS`` — worker memory is bounded by bucket size x
+    cap, not corpus size."""
     key = ref.hex()
     hit = _BUCKET_CACHE.get(key)
     if hit is not None:
         _BUCKET_CACHE.move_to_end(key)
         return hit
-    table = ray.get(ref)
-    idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
-    lat = (table["latency_ms"].combine_chunks().to_numpy()
-           if "latency_ms" in table.column_names else None)
-    html = table["html"]
-    if html.num_chunks == 1:
-        html = html.chunk(0)     # zero-copy Array view: fast take()
-    hit = (idx, html, lat)
+    hit = _build_index(ray.get(ref))
+    _INDEX_CACHE.clear()   # a prior broadcast crawl's O(corpus) dict
     _BUCKET_CACHE[key] = hit
     while len(_BUCKET_CACHE) > MAX_CACHED_BUCKETS:
         _BUCKET_CACHE.popitem(last=False)
@@ -192,6 +192,14 @@ def _make_bucketed_fetch(refs: list):
             s, e = int(bounds[gi]), int(bounds[gi + 1])
             rows = order[s:e]
             idx, html_col, lat_col = _load_bucket(refs[int(sb[s])])
+            if not idx:
+                # a bucket no corpus url hashes to: every row is a miss
+                # (pos would clamp to 0 and take() on the 0-row array
+                # raises) — emit placeholders; the miss mask rewrites
+                # them to SYNTH_404 below
+                miss[rows] = True
+                parts.append(pa.array([b""] * len(rows), pa.binary()))
+                continue
             pos = np.fromiter((idx.get(urls[i], -1) for i in rows),
                               dtype=np.int64, count=len(rows))
             m = pos < 0

@@ -124,9 +124,13 @@ class ParseExtract:
         # parse memo and the (host, port, file) -> hashCode memo each turn
         # the per-candidate cost into one dict probe after first sight.
         # Capped (extract._MEMO_CAP / here) by wholesale clear — the hot
-        # keys re-enter within a batch.
+        # keys re-enter within a batch.  hash_memo keys carry file paths
+        # (≤ 1024 B each), so it is ALSO byte-bounded: an adversarial
+        # long-href corpus stays ~64 MB/worker instead of ~0.5 GB at the
+        # entry cap alone (checked per batch via _hash_memo_bytes).
         self._url_memo: dict = {}
         self._hash_memo: dict = {}
+        self._hash_memo_bytes = 0
         self._route_cache: dict[bytes, int] = {}
 
     def parse_to_entries(self, batch: pa.Table, n_sched: int
@@ -159,8 +163,10 @@ class ParseExtract:
         hash_memo = self._hash_memo
         if len(route_cache) >= 1 << 19:
             route_cache.clear()
-        if len(hash_memo) >= 1 << 19:
+        if len(hash_memo) >= 1 << 19 or self._hash_memo_bytes >= 64 << 20:
             hash_memo.clear()
+            self._hash_memo_bytes = 0
+        memo_bytes = 0
         for i, (url_s, depth, is_rob, raw, ck) in enumerate(
                 zip(urls, depths, robots_flags, raws, cookies)):
             raw = raw or b""
@@ -195,9 +201,11 @@ class ParseExtract:
                 if hc is None:
                     hc = cu.hash_code()
                     hash_memo[hkey] = hc
+                    memo_bytes += len(host) + len(cu.file) + 120
                 entries_by_shard.setdefault(sid, []).append(
                     (prio, p_ip, p_sub, c.order, host, cu.port, cu.file,
                      cu.depth, hc, p_ip, p_sub, cu.cookie))
+        self._hash_memo_bytes += memo_bytes
         cols = {
             "url": batch["url"],
             "depth": batch["depth"],

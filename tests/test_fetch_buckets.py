@@ -66,6 +66,31 @@ def test_bucketed_fetch_lru_eviction(ray_session, monkeypatch):
     assert got1.equals(expect) and got2.equals(expect)
 
 
+def test_miss_hashing_to_empty_bucket(ray_session):
+    """A frontier url absent from the corpus whose crc32 lands in a
+    bucket NO corpus url hashes to must synthesize the 404 like any
+    other miss (regression: take() on the 0-row bucket array raised
+    ArrowIndexError and killed the fetch task)."""
+    import zlib
+
+    from larbin_ray.stages import fetch as F
+
+    web = gen_web(6, 2, seed=5)
+    B = 64   # tiny corpus + many buckets guarantees empty buckets
+    used = {zlib.crc32(u.encode()) % B for u in web["url"].to_pylist()}
+    assert len(used) < B
+    miss = next(f"http://nosuch.example/{i}" for i in range(10_000)
+                if zlib.crc32(f"http://nosuch.example/{i}".encode()) % B
+                not in used)
+    refs = F.put_pages(web, B)
+    batch = pa.table({"url": pa.array(
+        [web["url"][0].as_py(), miss], pa.string())})
+    out = F.make_fetch_fn(refs)(batch)
+    assert out["html"].to_pylist()[1] == F.SYNTH_404
+    assert out["latency_ms"].to_pylist()[1] == 0
+    assert out["html"].to_pylist()[0] == web["html"][0].as_py()
+
+
 def test_empty_batch_bucketed(ray_session):
     from larbin_ray.stages import fetch as F
 
