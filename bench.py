@@ -44,9 +44,6 @@ def web_scale() -> tuple[int, int]:
 
 
 def _sf_tag() -> str:
-    for tag in ("0.001", "0.01", "0.1"):
-        if tag in SF_DIR and not (tag == "0.01" and "0.001" in SF_DIR):
-            pass
     if "0.001" in SF_DIR:
         return "0.001"
     if "0.01" in SF_DIR:
