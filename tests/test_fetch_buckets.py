@@ -101,6 +101,43 @@ def test_empty_batch_bucketed(ray_session):
     assert out.column_names == ["url", "html", "latency_ms"]
 
 
+def test_ray_data_tick_path_with_buckets(ray_session):
+    """The streaming tick path's fetch closure carries the bucket refs
+    through map_batches — must equal the task path's broadcast result."""
+    web = gen_web(120, 8, seed=42)
+    seeds = default_seeds(8)
+    base = dict(depth_by_site=True, num_scheduler_shards=3,
+                num_seen_shards=2)
+    ref = ray_crawl(web, seeds, CrawlConfig(**base, fetch_num_buckets=1))
+    got = ray_crawl(web, seeds, CrawlConfig(**base, fetch_num_buckets=4,
+                                            ray_data_min_tick_rows=0))
+    key = ("url", "tick", "ip", "sub", "status", "is_robots", "depth")
+    assert [{k: r[k] for k in key} for r in got.fetched_sorted()] == \
+           [{k: r[k] for k in key} for r in ref.fetched_sorted()]
+    assert got.answers == ref.answers
+
+
+def test_resume_with_buckets(ray_session, tmp_path):
+    """Resume is fetch-path-agnostic: a crawl checkpointed on the
+    broadcast path and resumed on the bucketed path (different shard
+    counts too) ends in the uninterrupted run's exact state."""
+    import numpy as np
+
+    web = gen_web(60, 6, seed=42)
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=3,
+                      num_seen_shards=2, checkpoint_every=4)
+    full = ray_crawl(web, seeds, cfg)
+    ck = str(tmp_path / "ck")
+    ray_crawl(web, seeds, cfg, checkpoint_dir=ck, max_ticks=8)
+    cfg2 = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                       num_seen_shards=3, checkpoint_every=4,
+                       fetch_num_buckets=5)
+    resumed = ray_crawl(web, seeds, cfg2, checkpoint_dir=ck, resume=True)
+    assert dict(resumed.answers) == dict(full.answers)
+    assert np.array_equal(resumed.seen_indices, full.seen_indices)
+
+
 @pytest.mark.parametrize("bucket_cfg", [dict(fetch_num_buckets=4),
                                         dict(fetch_bucket_bytes=1 << 12)])
 def test_crawl_parity_bucketed_vs_broadcast(ray_session, bucket_cfg):
