@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf_dir: T.minhash_dedup(sf_dir, num_hashes=64, bands=32),
         "simhash_dup_pairs": T.simhash_dup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        # transitive closure over the exact pair list (A~B~C collapses
+        # to one cluster even when A,C don't pair); SQL oracle = the
+        # same pairs CTE + a recursive reachability closure
+        "dedup_clusters": T.dedup_clusters,
         # text analysis
         "token_stats": T.token_stats,
         "token_stats_bpe": T.token_stats_bpe,
@@ -458,6 +462,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks)-2)])
+                         AS grams
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(
+                               {_SQL_STRIP.format('lower(text)')}, '\\s+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) >= 0.5
+            ), e AS (
+              SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+            ), reach(src, dst) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         # lang_id heuristic, expressed 1:1 in SQL: zh = CJK char in the
         # first 400 chars; else stopword-marker argmax over the first

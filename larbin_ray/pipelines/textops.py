@@ -704,6 +704,59 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+def cluster_pairs(doc_a, doc_b) -> dict[int, int]:
+    """Union-find connected components over an edge list; returns
+    {doc_id: cluster_id} with cluster_id = the component's min doc_id.
+    Pure function (unit-tested directly); cost is O(pairs α(pairs))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:           # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(doc_a, doc_b):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps the root the smallest member, so the
+            # final find() IS the cluster id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {v: find(v) for v in parent}
+
+
+def dedup_clusters(sf_dir: str, n: int = 3,
+                   threshold: float = 0.5) -> pd.DataFrame:
+    """Transitive near-dup clusters: connected components over the EXACT
+    n-gram Jaccard pair list (``ngram_jaccard_pairs``), one row
+    (doc_id, cluster_id) per clustered doc with cluster_id = the
+    component's min doc_id.  Pair lists alone under-dedup: A~B and B~C
+    must drop two of three docs even when A and C don't pair directly —
+    the cluster id is what a keeper policy needs.
+
+    Scale shape: the pair emission/reduction is the distributed part
+    (see ngram_jaccard_pairs); the union-find runs on the already
+    threshold-reduced pair list — the same O(qualifying pairs) data the
+    pair queries already return to the caller by contract.  If a corpus'
+    pair list outgrew one machine, the escape hatch is iterative min-
+    label propagation over the edge table via ``hash_reduce`` (O(cluster
+    diameter) rounds); not needed while pairs fit, and the output
+    contract is identical."""
+    pairs = ngram_jaccard_pairs(sf_dir, n, threshold)
+    lbl = cluster_pairs(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
+    items = sorted(lbl.items())
+    return pd.DataFrame({
+        "doc_id": pd.array([k for k, _ in items], dtype="int64"),
+        "cluster_id": pd.array([v for _, v in items], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 

@@ -166,6 +166,40 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
     assert got == sorted(exact)
 
 
+def test_cluster_pairs_unit():
+    """Union-find semantics: transitive chains collapse, components are
+    labeled by their min member, disjoint edges stay separate."""
+    from larbin_ray.pipelines.textops import cluster_pairs
+
+    # chain 5-3, 3-9 plus isolated pair 2-7: components {3,5,9} and {2,7}
+    got = cluster_pairs([5, 3, 2], [3, 9, 7])
+    assert got == {3: 3, 5: 3, 9: 3, 2: 2, 7: 2}
+    assert cluster_pairs([], []) == {}
+    # edge order / direction must not matter
+    assert cluster_pairs([9, 3], [3, 5]) == {3: 3, 5: 3, 9: 3}
+
+
+def test_dedup_clusters_matches_duckdb_closure(ray_session):
+    """Exact value equality vs the recursive-CTE SQL oracle the driver
+    runs (same compare: sorted rows, both columns)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from larbin_ray.pipelines.textops import dedup_clusters
+
+    got = dedup_clusters(SF).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ref = (con.execute(entry.oracle_sql()["dedup_clusters"]).df()
+           .astype("int64").sort_values("doc_id").reset_index(drop=True))
+    assert not got.empty, "fixture corpus must contain near-dup pairs"
+    # at least one transitive (size>2) component, or the closure is
+    # vacuously the pair list
+    assert (got.groupby("cluster_id").size() > 2).any()
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_minhash_recall_vs_exact_jaccard(ray_session):
     """LSH candidates + exact verification: output pairs must be a
     subset of the exact-Jaccard pairs at the threshold, and recall on
