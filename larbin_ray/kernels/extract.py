@@ -421,12 +421,25 @@ def admit_link(nouv: Url, here: Url, is_redir: bool, cfg: CrawlConfig,
 # are ~100 B, so half a million ≈ 50 MB per worker — but keys carry the
 # raw href (≤ maxUrlSize 1024 B) plus the base identity, so a corpus of
 # many distinct LONG hrefs could reach GBs under an entry cap alone.
-# The memo therefore also tracks approximate bytes (under the _MEMO_BYTES
-# sentinel key) and is dropped wholesale at whichever cap hits first
-# (hits are front-loaded — popular nav links re-enter within one batch).
+# UrlMemo therefore also tracks approximate bytes, and the memo is
+# dropped wholesale at whichever cap hits first (hits are front-loaded —
+# popular nav links re-enter within one batch).
 _MEMO_CAP = 1 << 19
 _MEMO_MAX_BYTES = 64 << 20
-_MEMO_BYTES = "\x00bytes"   # sentinel key (real keys are bytes/tuples)
+
+
+class UrlMemo(dict):
+    """Parse-memo dict with a byte counter riding alongside (a plain
+    dict also works — it is then bounded by the entry cap only)."""
+    __slots__ = ("nbytes",)
+
+    def __init__(self):
+        super().__init__()
+        self.nbytes = 0
+
+    def clear(self):
+        super().clear()
+        self.nbytes = 0
 
 
 def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
@@ -471,15 +484,18 @@ def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
                                 and filter1(nouv.host, nouv.file, cfg,
                                             _domains, _forb))
                     if (len(url_memo) >= _MEMO_CAP
-                            or url_memo.get(_MEMO_BYTES, 0) >= _MEMO_MAX_BYTES):
+                            or getattr(url_memo, "nbytes", 0)
+                            >= _MEMO_MAX_BYTES):
                         url_memo.clear()
-                    url_memo[_MEMO_BYTES] = (
-                        url_memo.get(_MEMO_BYTES, 0) + len(value)
-                        + (len(key[3]) if isinstance(key, tuple)
-                           and len(key) == 4 else 0)
-                        + len(nouv.host or b"") + len(nouv.file or b"") + 160)
                     url_memo[key] = (nouv.host, nouv.port, nouv.file,
                                      admitted)
+                    if isinstance(url_memo, UrlMemo):
+                        url_memo.nbytes += (
+                            len(value)
+                            + (len(key[3]) if isinstance(key, tuple)
+                               and len(key) == 4 else 0)
+                            + len(nouv.host or b"")
+                            + len(nouv.file or b"") + 160)
                     if admitted:
                         admit_link(nouv, here, False, cfg, order, result,
                                    _domains, _forb, prechecked=True)

@@ -707,7 +707,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
 def cluster_pairs(doc_a, doc_b) -> dict[int, int]:
     """Union-find connected components over an edge list; returns
     {doc_id: cluster_id} with cluster_id = the component's min doc_id.
-    Pure function (unit-tested directly); cost is O(pairs α(pairs))."""
+    Pure function (unit-tested directly).  Union is BY MIN (the label
+    requirement), not by rank, so the bound is the path-compression-only
+    amortized O(pairs log pairs) worst case — still linear-ish in
+    practice and trivially fast at pair-list sizes."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

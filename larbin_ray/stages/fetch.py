@@ -249,6 +249,14 @@ def make_fetch_fn(pages_refs):
         import pyarrow.compute as pc
         idx, html_col, lat_col = _index_for(pages_ref)
         urls = batch["url"].to_pylist()
+        if not idx:
+            # empty pages table: every row is a miss (same guard as the
+            # bucketed path — take() on a 0-row array raises)
+            n = len(urls)
+            batch = batch.append_column(
+                "html", pa.array([SYNTH_404] * n, pa.binary()))
+            return batch.append_column(
+                "latency_ms", pa.array(np.zeros(n, dtype=np.int64)))
         pos = np.fromiter((idx.get(u, -1) for u in urls),
                           dtype=np.int64, count=len(urls))
         miss = pos < 0

@@ -128,7 +128,8 @@ class ParseExtract:
         # (≤ 1024 B each), so it is ALSO byte-bounded: an adversarial
         # long-href corpus stays ~64 MB/worker instead of ~0.5 GB at the
         # entry cap alone (checked per batch via _hash_memo_bytes).
-        self._url_memo: dict = {}
+        from larbin_ray.kernels.extract import UrlMemo
+        self._url_memo: dict = UrlMemo()
         self._hash_memo: dict = {}
         self._hash_memo_bytes = 0
         self._route_cache: dict[bytes, int] = {}
