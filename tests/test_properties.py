@@ -3,7 +3,7 @@ vectorized state kernels vs their sequential reference forms, and
 normalization invariants."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from larbin_ray.kernels.httpparse import content_dup_code
@@ -18,17 +18,27 @@ _pathish = st.binary(min_size=0, max_size=60).map(
 
 @given(_pathish.filter(lambda p: b"%" not in p))
 @settings(max_examples=300, deadline=None)
+@example(path=b"/.#")
+@example(path=b"/a/..#f")
 def test_normalize_removes_dot_segments(path):
     """For %-free inputs, a successful normalize leaves no //, /./, /../
-    and is idempotent."""
+    and is idempotent — EXCEPT the reference's fragment-cut quirk
+    (url.cxx:123-141): the trailing "/." / "/.." collapse tests look for
+    end-of-string, so a '#' right after the dot segment freezes it in
+    the output (b"/.#" -> b"/.").  Byte-exactness keeps the quirk; such
+    an output is not a normalize fixed point."""
     out = file_normalize(path)
     if out is None:
         return
     body = out.split(b"#")[0]
     assert b"//" not in body
-    assert b"/./" not in body + b"/"
-    assert b"/../" not in body + b"/"
-    assert file_normalize(out) == out
+    assert b"/./" not in body
+    assert b"/../" not in body
+    if body.endswith((b"/.", b"/..")):
+        # only the fragment cut can produce these survivors
+        assert b"#" in path
+    else:
+        assert file_normalize(out) == out
 
 
 @given(st.from_regex(rb"\A[a-z0-9.\-]{1,20}\Z"),
