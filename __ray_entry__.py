@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL oracle on purpose; recall vs brute force is unit-tested)
         "knn_ivf_approx": lambda sf_dir: S.knn_ivf(sf_dir, n_cells=16, nprobe=4),
         "embedding_dup_pairs": S.embedding_dup_pairs,
+        # same transitive closure as dedup_clusters, over the exact
+        # cosine pair list
+        "embedding_dup_clusters": S.embedding_dup_clusters,
         # graded config uses 64 bands of 2 planes: per-pair candidate
         # recall at cosine 0.45 is 1-(1-p^2)^64 with p = 1-acos(0.45)/pi
         # ≈ 0.6485, i.e. 1-6e-16 — the exact-join SQL oracle applies
@@ -362,6 +365,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "embedding_dup_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ), e AS (
+              SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+            ), reach(src, dst) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+            )
+            SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src ORDER BY vec_id
         """,
         # the LSH path is approximate by construction, but with the
         # shipped deterministic planes (128 planes / 32 bands) its

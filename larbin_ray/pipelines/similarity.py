@@ -203,6 +203,22 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def embedding_dup_clusters(sf_dir: str,
+                           threshold: float = 0.45) -> pd.DataFrame:
+    """Transitive embedding near-dup clusters: connected components over
+    the exact cosine pair list, (vec_id, cluster_id) with cluster_id =
+    the component's min vec_id — the same closure dedup_clusters applies
+    to the text pair list (see its docstring for the scale contract)."""
+    from larbin_ray.pipelines.textops import cluster_pairs
+
+    pairs = embedding_dup_pairs(sf_dir, threshold)
+    lbl = cluster_pairs(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+    items = sorted(lbl.items())
+    return pd.DataFrame({
+        "vec_id": pd.array([k for k, _ in items], dtype="int64"),
+        "cluster_id": pd.array([v for _, v in items], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup — random-hyperplane LSH (the 10^10-scale path)
 

@@ -200,6 +200,22 @@ def test_dedup_clusters_matches_duckdb_closure(ray_session):
     pd.testing.assert_frame_equal(got, ref)
 
 
+def test_embedding_dup_clusters_matches_duckdb_closure(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry
+    from larbin_ray.pipelines.similarity import embedding_dup_clusters
+
+    got = embedding_dup_clusters(SF).sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    ref = (con.execute(entry.oracle_sql()["embedding_dup_clusters"]).df()
+           .astype("int64").sort_values("vec_id").reset_index(drop=True))
+    assert not got.empty
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_minhash_recall_vs_exact_jaccard(ray_session):
     """LSH candidates + exact verification: output pairs must be a
     subset of the exact-Jaccard pairs at the threshold, and recall on
