@@ -1,0 +1,66 @@
+"""Replay of the grading driver's gate at sf0.001: every queries()
+entry runs; every oracle_sql() entry value-matches DuckDB on the same
+parquet views with the driver's compare semantics (columns sorted by
+name, rows sorted, exact values).  Catches column-name / rounding /
+schema drift BEFORE the graded sf0.01 run."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_every_query_runs_and_every_oracle_matches(entry_mod, con):
+    qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(sqls) <= set(qs), f"orphan oracles: {set(sqls) - set(qs)}"
+    failures = []
+    for name, fn in qs.items():
+        r = fn(SF)
+        mine = r.to_pandas() if hasattr(r, "to_pandas") else r
+        assert mine is not None, name
+        if name not in sqls:
+            continue          # rows-only by documented design
+        ref = con.execute(sqls[name]).df()
+        if len(mine) != len(ref):
+            failures.append(f"{name}: rows {len(mine)} != {len(ref)}")
+            continue
+        if sorted(mine.columns) != sorted(ref.columns):
+            failures.append(f"{name}: columns {sorted(mine.columns)} != "
+                            f"{sorted(ref.columns)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(_canon(mine), _canon(ref),
+                                          check_dtype=False)
+        except AssertionError as e:
+            failures.append(f"{name}: values differ — {str(e).splitlines()[-1]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    assert len(df) > 0
+    assert "status" in df.columns
