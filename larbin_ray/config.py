@@ -93,7 +93,7 @@ class CrawlConfig:
     fetch_concurrency: int = 4       # fetch-join actor pool
     # pages-table publication (stages/fetch.py): 1 = single broadcast
     # object + per-worker full url index (small-corpus fast path);
-    # B > 1 = hash-partition into B crc32(url)%B buckets, workers hold
+    # B > 1 = hash-partition into B hash64(url)%B buckets, workers hold
     # only touched buckets under an LRU cap; 0 = auto — one bucket per
     # fetch_bucket_bytes of html so a corpus bigger than a comfortable
     # broadcast partitions itself.  Both paths are output-identical

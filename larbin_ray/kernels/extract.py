@@ -490,10 +490,15 @@ def extract_links(here: Url, body: bytes, cfg: CrawlConfig,
                     url_memo[key] = (nouv.host, nouv.port, nouv.file,
                                      admitted)
                     if isinstance(url_memo, UrlMemo):
+                        # approximate accounting (checked BEFORE insert,
+                        # so the 64 MB cap can overshoot by one entry —
+                        # safe by design); 4-tuple keys count base.host
+                        # AND base.file
                         url_memo.nbytes += (
                             len(value)
-                            + (len(key[3]) if isinstance(key, tuple)
-                               and len(key) == 4 else 0)
+                            + (len(key[1]) + len(key[3])
+                               if isinstance(key, tuple) and len(key) == 4
+                               else 0)
                             + len(nouv.host or b"")
                             + len(nouv.file or b"") + 160)
                     if admitted:

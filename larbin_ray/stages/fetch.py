@@ -13,7 +13,7 @@ Scale notes (10^10 frontier):
   the index build across ticks and stages);
 - past ``CrawlConfig.fetch_bucket_bytes`` of page bytes the SAME stage
   runs hash-partitioned: :func:`put_pages` splits the table into
-  ``crc32(url) % B`` buckets (one object-store entry each) and the
+  ``hash64(url) % B`` buckets (one object-store entry each) and the
   fetch fn groups every batch by bucket, building/holding only the
   per-bucket indexes its batches actually touch, under an LRU cap
   (``MAX_CACHED_BUCKETS``).  No worker ever materializes an O(corpus)
@@ -29,16 +29,20 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
+
+from larbin_ray.kernels.strhash import hash_str_array
 
 SYNTH_404 = b"HTTP/1.0 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
 
 _INDEX_CACHE: dict[str, tuple] = {}
 
-# bucketed path: per-worker LRU of (url->row dict, html array, latency)
-# keyed by bucket ref — bounds worker memory to MAX_CACHED_BUCKETS
-# buckets regardless of corpus size
+# bucketed path: per-worker LRU of _UrlIndex objects keyed by bucket
+# ref — bounds worker memory to MAX_CACHED_BUCKETS buckets regardless
+# of corpus size
 _BUCKET_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
 MAX_CACHED_BUCKETS = 64
 
@@ -48,25 +52,58 @@ MAX_CACHED_BUCKETS = 64
 # ref — a new ref invalidates every worker's url-index cache and the
 # whole pool re-pays the ~0.5 s/worker build inside the first timed
 # waves (measured: ~8 s of ramp across ticks 0-5 at 400k pages).
-_PUT_CACHE: list = []      # [(pages_table, ref)] — single entry
+# Single entry: (pages_table, bucket_ref_list, job_id, num_buckets) —
+# put_pages returns the ref LIST (len 1 = broadcast fast path).
+_PUT_CACHE: list = []
+
+# worker-side cache mode: 'broadcast' | 'bucketed' | None.  A mode
+# SWITCH evicts the other mode's indexes once; repeated misses within
+# one mode must not (alternating broadcast/bucketed work on a warm
+# worker would otherwise rebuild the O(corpus) broadcast index on
+# every bucket miss).
+_CACHE_MODE: list = [None]
 
 
-def _url_bucket_array(urls: list, num_buckets: int):
-    """Stable url -> bucket assignment shared by put and fetch sides."""
-    import zlib
+def _serialized_nbytes(obj) -> int:
+    """Out-of-band serialized size — the same protocol-5 zero-copy path
+    ray.put takes, so this measures what actually lands in plasma."""
+    import pickle
+    bufs: list = []
+    n = len(pickle.dumps(obj, protocol=5, buffer_callback=bufs.append))
+    return n + sum(b.raw().nbytes for b in bufs)
 
-    import numpy as np
-    return np.fromiter(
-        (zlib.crc32(u.encode("utf-8", "surrogateescape")) % num_buckets
-         for u in urls),
-        dtype=np.int64, count=len(urls))
+
+# one-time (per process) verdict on whether pickling a zero-copy table
+# slice truncates the parent buffers.  Current pyarrow does; a version
+# that serialized the PARENT buffer would make every bucket object embed
+# the whole corpus, silently defeating the bucketed path's memory bound
+# — in that case put_pages deep-copies each slice (gather) instead.
+_SLICE_TRUNCATION_OK: list = [None]
+
+
+def _slices_truncate_ok(sample: pa.Table, full_nbytes: int) -> bool:
+    if _SLICE_TRUNCATION_OK[0] is None:
+        ser = _serialized_nbytes(sample)
+        # a truncated slice serializes to ~its own bytes; an embedded
+        # parent serializes to ~the corpus.  Split at half the corpus.
+        _SLICE_TRUNCATION_OK[0] = ser < max(sample.nbytes * 2 + (1 << 16),
+                                            full_nbytes // 2)
+    return _SLICE_TRUNCATION_OK[0]
+
+
+def _url_bucket_array(urls: pa.Array | pa.ChunkedArray,
+                      num_buckets: int) -> np.ndarray:
+    """Stable url -> bucket assignment shared by put and fetch sides:
+    the vectorized sampled hash mod B (deterministic across processes —
+    pure numpy over the Arrow buffers, no per-row Python)."""
+    return (hash_str_array(urls) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
     """Publish the pages table to the object store; returns the list of
     bucket refs (length 1 = the broadcast fast path).
 
-    ``num_buckets > 1`` hash-partitions the corpus by ``crc32(url) % B``
+    ``num_buckets > 1`` hash-partitions the corpus by ``hash64(url) % B``
     into B independent objects — the design path once the corpus
     outgrows a single broadcast (see module docstring).  The partition
     pass is one driver-side sort+take (the same single copy the
@@ -106,45 +143,106 @@ def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
     if num_buckets <= 1:
         refs = [ray.put(tbl)]
     else:
-        import numpy as np
-        bk = _url_bucket_array(tbl["url"].to_pylist(), num_buckets)
+        bk = _url_bucket_array(tbl["url"], num_buckets)
         order = np.argsort(bk, kind="stable")
         srt = tbl.take(pa.array(order)).combine_chunks()
         starts = np.searchsorted(bk[order], np.arange(num_buckets))
         ends = np.searchsorted(bk[order], np.arange(num_buckets), "right")
-        # slices are zero-copy views; ray.put serializes each slice only
-        refs = [ray.put(srt.slice(int(s), int(e - s)))
-                for s, e in zip(starts, ends)]
+        # slices are zero-copy views; ray.put serializes each slice only.
+        # Pin that assumption once per process (ADVICE r4): if this
+        # pyarrow serialized the PARENT buffers, each bucket object would
+        # embed the whole corpus — fall back to a per-slice deep gather.
+        slices = [srt.slice(int(s), int(e - s))
+                  for s, e in zip(starts, ends)]
+        probe = max(slices, key=lambda t: t.num_rows)
+        if probe.num_rows and not _slices_truncate_ok(probe, srt.nbytes):
+            slices = [t.take(pa.array(np.arange(t.num_rows))) for t in slices]
+        refs = [ray.put(t) for t in slices]
     _PUT_CACHE.clear()           # hold one web at a time (frees the old objects)
     _PUT_CACHE.append((pages, refs, job_id, num_buckets))
     return refs
 
 
-def _build_index(table: pa.Table) -> tuple:
-    """(url->row dict, html array view, latency np array) for one pages
-    table/bucket — the single definition both cache policies share."""
-    idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
-    lat = (table["latency_ms"].combine_chunks().to_numpy()
-           if "latency_ms" in table.column_names else None)
-    html = table["html"]
-    if html.num_chunks == 1:
-        html = html.chunk(0)     # zero-copy Array view: fast take()
-    return (idx, html, lat)
+class _UrlIndex:
+    """Per-worker url -> row index over one pages table / bucket: a
+    SORTED uint64 sampled-hash array + the row permutation + the url
+    column for exact verification.  Build is all-numpy over the Arrow
+    buffers (no per-row Python — replaces the r4 dict whose build cost
+    ~0.5 s/worker and whose probe re-hashed fresh str objects per
+    batch); probe is a C-speed ``searchsorted`` + vectorized
+    ``pc.equal`` verify, with an equal-hash-run scan fallback so a
+    sampled-hash collision costs extra comparisons, never a wrong row."""
+
+    __slots__ = ("sorted_h", "order", "urls", "html", "lat", "n")
+
+    def __init__(self, table: pa.Table):
+        urls = table["url"].combine_chunks()
+        h = hash_str_array(urls)
+        self.order = np.argsort(h, kind="stable")
+        self.sorted_h = h[self.order]
+        self.urls = urls
+        self.n = len(urls)
+        self.lat = (table["latency_ms"].combine_chunks().to_numpy()
+                    if "latency_ms" in table.column_names else None)
+        html = table["html"]
+        if html.num_chunks == 1:
+            html = html.chunk(0)     # zero-copy Array view: fast take()
+        self.html = html
+
+    def probe(self, batch_urls, hq: np.ndarray | None = None) -> np.ndarray:
+        """Row position per url, -1 for misses.  ``hq`` may pass in
+        precomputed hashes (the bucketed path hashes each batch ONCE
+        for bucket routing and reuses it here)."""
+        if isinstance(batch_urls, pa.ChunkedArray):
+            batch_urls = batch_urls.combine_chunks()
+        if hq is None:
+            hq = hash_str_array(batch_urls)
+        if self.n == 0:
+            return np.full(len(hq), -1, dtype=np.int64)
+        p = np.searchsorted(self.sorted_h, hq)        # leftmost
+        pcl = np.minimum(p, self.n - 1)
+        cand = self.sorted_h[pcl] == hq
+        rows = np.where(cand, self.order[pcl], 0)
+        ok = cand & np.asarray(
+            pc.equal(self.urls.take(pa.array(rows)),
+                     batch_urls).to_numpy(zero_copy_only=False), dtype=bool)
+        pos = np.where(ok, rows, np.int64(-1))
+        bad = np.flatnonzero(cand & ~ok)
+        if len(bad):
+            # sampled-hash collision (or duplicate-hash corpus rows):
+            # scan the equal-hash run — O(run) Python, collision-rare
+            for i in bad:
+                q = int(pcl[i]) + 1
+                want = batch_urls[int(i)].as_py()
+                while q < self.n and self.sorted_h[q] == hq[i]:
+                    r = int(self.order[q])
+                    if self.urls[r].as_py() == want:
+                        pos[i] = r
+                        break
+                    q += 1
+        return pos
 
 
-def _index_for(pages_ref) -> tuple:
-    """Per-worker cached (url->row dict, html ChunkedArray, latency
-    list).  The dict build is a one-time ~0.5 s per worker (amortized
-    across the crawl; the raylet no longer culls and respawns workers —
-    bench raises num_workers_soft_limit); the html column stays a
-    ChunkedArray view into the shared object store — combining it would
-    COPY the whole GB-scale body column into every worker heap."""
+def _build_index(table: pa.Table) -> _UrlIndex:
+    """The single index constructor both cache policies share."""
+    return _UrlIndex(table)
+
+
+def _index_for(pages_ref) -> _UrlIndex:
+    """Per-worker cached :class:`_UrlIndex`.  The build is a one-time
+    vectorized hash+argsort per worker (amortized across the crawl; the
+    raylet no longer culls and respawns workers — bench raises
+    num_workers_soft_limit); the html column stays a zero-copy view
+    into the shared object store — combining it would COPY the whole
+    GB-scale body column into every worker heap."""
     key = pages_ref.hex()
     hit = _INDEX_CACHE.get(key)
     if hit is None:
         hit = _build_index(ray.get(pages_ref))
         _INDEX_CACHE.clear()   # one pages table per crawl; don't leak old ones
-        _BUCKET_CACHE.clear()  # nor the other mode's per-bucket indexes
+        if _CACHE_MODE[0] != "broadcast":
+            _BUCKET_CACHE.clear()  # entering broadcast mode: drop bucket indexes
+            _CACHE_MODE[0] = "broadcast"
         _INDEX_CACHE[key] = hit
     return hit
 
@@ -161,7 +259,9 @@ def _load_bucket(ref) -> tuple:
         _BUCKET_CACHE.move_to_end(key)
         return hit
     hit = _build_index(ray.get(ref))
-    _INDEX_CACHE.clear()   # a prior broadcast crawl's O(corpus) dict
+    if _CACHE_MODE[0] != "bucketed":
+        _INDEX_CACHE.clear()   # entering bucketed mode: drop the O(corpus) dict
+        _CACHE_MODE[0] = "bucketed"
     _BUCKET_CACHE[key] = hit
     while len(_BUCKET_CACHE) > MAX_CACHED_BUCKETS:
         _BUCKET_CACHE.popitem(last=False)
@@ -169,17 +269,19 @@ def _load_bucket(ref) -> tuple:
 
 
 def _make_bucketed_fetch(refs: list):
-    """Fetch fn over a ``crc32(url) % B``-partitioned corpus: group the
-    batch by bucket, gather per bucket through the LRU index, restore
-    the batch's row order.  Output-identical to the broadcast path."""
+    """Fetch fn over a hash-partitioned corpus: group the batch by
+    bucket, gather per bucket through the LRU index, restore the
+    batch's row order.  Output-identical to the broadcast path.  The
+    batch's urls are hashed ONCE (bucket routing reuses the probe
+    hash)."""
     num_buckets = len(refs)
 
     def fetch(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        import pyarrow.compute as pc
         n = batch.num_rows
-        urls = batch["url"].to_pylist()
-        bk = _url_bucket_array(urls, num_buckets)
+        u_arr = batch["url"].combine_chunks() \
+            if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
+        hq = hash_str_array(u_arr)
+        bk = (hq % np.uint64(num_buckets)).astype(np.int64)
         order = np.argsort(bk, kind="stable")
         sb = bk[order]
         group_starts = (np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
@@ -191,8 +293,8 @@ def _make_bucketed_fetch(refs: list):
         for gi in range(len(group_starts)):
             s, e = int(bounds[gi]), int(bounds[gi + 1])
             rows = order[s:e]
-            idx, html_col, lat_col = _load_bucket(refs[int(sb[s])])
-            if not idx:
+            index = _load_bucket(refs[int(sb[s])])
+            if index.n == 0:
                 # a bucket no corpus url hashes to: every row is a miss
                 # (pos would clamp to 0 and take() on the 0-row array
                 # raises) — emit placeholders; the miss mask rewrites
@@ -200,19 +302,18 @@ def _make_bucketed_fetch(refs: list):
                 miss[rows] = True
                 parts.append(pa.array([b""] * len(rows), pa.binary()))
                 continue
-            pos = np.fromiter((idx.get(urls[i], -1) for i in rows),
-                              dtype=np.int64, count=len(rows))
+            pos = index.probe(u_arr.take(pa.array(rows)), hq[rows])
             m = pos < 0
             pos[m] = 0
-            taken = html_col.take(pa.array(pos))
+            taken = index.html.take(pa.array(pos))
             if isinstance(taken, pa.ChunkedArray):
                 taken = taken.combine_chunks()
             if taken.type == pa.large_binary():
                 taken = taken.cast(pa.binary())
             parts.append(taken)
             miss[rows] = m
-            if lat_col is not None:
-                v = lat_col[pos].astype(np.int64, copy=True)
+            if index.lat is not None:
+                v = index.lat[pos].astype(np.int64, copy=True)
                 v[m] = 0
                 lat_out[rows] = v
         if parts:
@@ -245,37 +346,33 @@ def make_fetch_fn(pages_refs):
         pages_ref = pages_refs
 
     def fetch(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        import pyarrow.compute as pc
-        idx, html_col, lat_col = _index_for(pages_ref)
-        urls = batch["url"].to_pylist()
-        if not idx:
+        index = _index_for(pages_ref)
+        n = batch.num_rows
+        if index.n == 0:
             # empty pages table: every row is a miss (same guard as the
             # bucketed path — take() on a 0-row array raises)
-            n = len(urls)
             batch = batch.append_column(
                 "html", pa.array([SYNTH_404] * n, pa.binary()))
             return batch.append_column(
                 "latency_ms", pa.array(np.zeros(n, dtype=np.int64)))
-        pos = np.fromiter((idx.get(u, -1) for u in urls),
-                          dtype=np.int64, count=len(urls))
+        pos = index.probe(batch["url"])
         miss = pos < 0
         pos[miss] = 0
         # one vectorized gather of the batch's rows out of the shared
         # html column (copies only batch-sized data)
-        taken = html_col.take(pa.array(pos))
+        taken = index.html.take(pa.array(pos))
         if isinstance(taken, pa.ChunkedArray):
             taken = taken.combine_chunks()
         if taken.type == pa.large_binary():
             taken = taken.cast(pa.binary())   # batch-sized, no overflow
         miss_arr = pa.array(miss)
         html_out = pc.if_else(miss_arr, pa.scalar(SYNTH_404, pa.binary()), taken)
-        if lat_col is not None:
-            lat_np = lat_col[pos].astype(np.int64, copy=True)
+        if index.lat is not None:
+            lat_np = index.lat[pos].astype(np.int64, copy=True)
             lat_np[miss] = 0
             lat_out = pa.array(lat_np)
         else:
-            lat_out = pa.array(np.zeros(len(urls), dtype=np.int64))
+            lat_out = pa.array(np.zeros(n, dtype=np.int64))
         batch = batch.append_column("html", html_out)
         return batch.append_column("latency_ms", lat_out)
 

@@ -2,7 +2,7 @@
 
 The broadcast index is the small-corpus fast path; past
 ``cfg.fetch_bucket_bytes`` of page bytes :func:`put_pages` partitions
-the corpus into ``crc32(url) % B`` buckets and the fetch fn holds only
+the corpus into ``hash64(url) % B`` buckets and the fetch fn holds only
 the buckets its batches touch (LRU-capped).  These tests pin the two
 paths output-identical at the function level AND over a whole crawl,
 including url misses (synthesized 404), the latency column, and the
