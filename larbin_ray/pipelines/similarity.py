@@ -172,6 +172,23 @@ def _score_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
                      "sim": pa.array(s, pa.float64())})
 
 
+def _embedding_dup_tile_refs(sf_dir: str, threshold: float,
+                             block_rows: int) -> list:
+    """Launch the tiled cosine self-join; returns the tile-result REFS
+    (qualifying-pair tables) without driver materialization — shared by
+    the pair query (which ray.gets them: the pair list IS its result)
+    and embedding_dup_clusters' distributed component path."""
+    packed = load_embeddings(sf_dir).map_batches(
+        _pack_block, batch_format="pyarrow", batch_size=block_rows)
+    refs = packed.materialize().to_arrow_refs()
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(_score_block_pair.remote(refs[i], refs[j],
+                                                 threshold, i == j))
+    return futs
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
                         block_rows: int = 2048) -> pd.DataFrame:
     """(id_a, id_b, sim) for cosine >= threshold, id_a < id_b — exact.
@@ -183,14 +200,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
     Compute is O(N^2) by definition of the exact op; memory per task is
     two blocks; the driver only ever holds the qualifying pairs.  For
     the sub-quadratic scale path see embedding_dup_pairs_lsh."""
-    packed = load_embeddings(sf_dir).map_batches(
-        _pack_block, batch_format="pyarrow", batch_size=block_rows)
-    refs = packed.materialize().to_arrow_refs()
-    futs = []
-    for i in range(len(refs)):
-        for j in range(i, len(refs)):
-            futs.append(_score_block_pair.remote(refs[i], refs[j],
-                                                 threshold, i == j))
+    futs = _embedding_dup_tile_refs(sf_dir, threshold, block_rows)
     tiles = [t for t in ray.get(futs) if t.num_rows]
     if not tiles:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
@@ -203,20 +213,23 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.45,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def embedding_dup_clusters(sf_dir: str,
-                           threshold: float = 0.45) -> pd.DataFrame:
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.45,
+                           force_path: str | None = None) -> pd.DataFrame:
     """Transitive embedding near-dup clusters: connected components over
     the exact cosine pair list, (vec_id, cluster_id) with cluster_id =
     the component's min vec_id — the same closure dedup_clusters applies
-    to the text pair list (see its docstring for the scale contract)."""
-    from larbin_ray.pipelines.textops import cluster_pairs
+    to the text pair list.  The tile-result refs feed the component
+    labeler as a Dataset (``from_arrow_refs``) so the distributed path
+    never brings the pair list to the driver; mirrored cross-tile
+    duplicates are harmless (min-label is idempotent).  Path selection
+    as in pipelines.components.cluster_df."""
+    import ray.data as rd
 
-    pairs = embedding_dup_pairs(sf_dir, threshold)
-    lbl = cluster_pairs(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
-    items = sorted(lbl.items())
-    return pd.DataFrame({
-        "vec_id": pd.array([k for k, _ in items], dtype="int64"),
-        "cluster_id": pd.array([v for _, v in items], dtype="int64")})
+    from larbin_ray.pipelines.components import cluster_df
+
+    futs = _embedding_dup_tile_refs(sf_dir, threshold, block_rows=2048)
+    lab = cluster_df(rd.from_arrow_refs(futs), "id_a", "id_b", force_path)
+    return lab.rename(columns={"node": "vec_id", "label": "cluster_id"})
 
 
 # ---------------------------------------------------------------------------

@@ -655,21 +655,12 @@ def _emit_gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "sz_b": np.concatenate(out_sb)})
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
-                        threshold: float = 0.5) -> pd.DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs: (doc_a < doc_b, jaccard)
-    with jaccard >= threshold over distinct token n-gram sets.
-
-    Posting-list join, fully distributed with NO driver-side structure
-    proportional to document count: documents -> (gram, doc_id, sz)
-    posting rows, where sz is the doc's total distinct-gram count (each
-    posting row carries its doc's size, so the union size needs no join
-    and no broadcast) -> groupby(bucket-of-gram) pair emission of
-    (doc_a, doc_b, sz_a, sz_b) -> groupby(pair) reduce counts |A ∩ B|,
-    computes jaccard, and threshold-filters inside the bucket.  The
-    driver sees only the qualifying pairs.  The emission volume is sum
-    over grams of C(df, 2): exact by definition; the MinHash pipeline is
-    the approximate scale path when that sum explodes."""
+def _ngram_jaccard_pairs_ds(sf_dir: str, n: int = 3,
+                            threshold: float = 0.5) -> rd.Dataset:
+    """The qualifying-pair DATASET behind ngram_jaccard_pairs — shared
+    by the pair query (which materializes it: the pair list IS its
+    result contract) and dedup_clusters' distributed component path
+    (which must NOT bring pairs to the driver)."""
     n_buckets = shuffle_buckets(_doc_rows(sf_dir) * 64, rows_per_bucket=50_000)
     ds = load_documents(sf_dir, ["doc_id", "text"])
 
@@ -693,9 +684,27 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     pairs = (ds.map_batches(postings, batch_format="pandas")
              .groupby("bucket")
              .map_groups(_emit_gram_pairs, batch_format="pandas"))
-    out = hash_reduce(pairs, ["doc_a", "doc_b"],
-                      lambda df: _jaccard_pair_agg(df, threshold),
-                      shuffle_buckets(_doc_rows(sf_dir))).to_pandas()
+    return hash_reduce(pairs, ["doc_a", "doc_b"],
+                       lambda df: _jaccard_pair_agg(df, threshold),
+                       shuffle_buckets(_doc_rows(sf_dir)))
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs: (doc_a < doc_b, jaccard)
+    with jaccard >= threshold over distinct token n-gram sets.
+
+    Posting-list join, fully distributed with NO driver-side structure
+    proportional to document count: documents -> (gram, doc_id, sz)
+    posting rows, where sz is the doc's total distinct-gram count (each
+    posting row carries its doc's size, so the union size needs no join
+    and no broadcast) -> groupby(bucket-of-gram) pair emission of
+    (doc_a, doc_b, sz_a, sz_b) -> groupby(pair) reduce counts |A ∩ B|,
+    computes jaccard, and threshold-filters inside the bucket.  The
+    driver sees only the qualifying pairs.  The emission volume is sum
+    over grams of C(df, 2): exact by definition; the MinHash pipeline is
+    the approximate scale path when that sum explodes."""
+    out = _ngram_jaccard_pairs_ds(sf_dir, n, threshold).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
                              "doc_b": pd.array([], dtype="int64"),
@@ -735,8 +744,8 @@ def cluster_pairs(doc_a, doc_b) -> dict[int, int]:
     return {v: find(v) for v in parent}
 
 
-def dedup_clusters(sf_dir: str, n: int = 3,
-                   threshold: float = 0.5) -> pd.DataFrame:
+def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.5,
+                   force_path: str | None = None) -> pd.DataFrame:
     """Transitive near-dup clusters: connected components over the EXACT
     n-gram Jaccard pair list (``ngram_jaccard_pairs``), one row
     (doc_id, cluster_id) per clustered doc with cluster_id = the
@@ -744,20 +753,19 @@ def dedup_clusters(sf_dir: str, n: int = 3,
     must drop two of three docs even when A and C don't pair directly —
     the cluster id is what a keeper policy needs.
 
-    Scale shape: the pair emission/reduction is the distributed part
-    (see ngram_jaccard_pairs); the union-find runs on the already
-    threshold-reduced pair list — the same O(qualifying pairs) data the
-    pair queries already return to the caller by contract.  If a corpus'
-    pair list outgrew one machine, the escape hatch is iterative min-
-    label propagation over the edge table via ``hash_reduce`` (O(cluster
-    diameter) rounds); not needed while pairs fit, and the output
-    contract is identical."""
-    pairs = ngram_jaccard_pairs(sf_dir, n, threshold)
-    lbl = cluster_pairs(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
-    items = sorted(lbl.items())
-    return pd.DataFrame({
-        "doc_id": pd.array([k for k, _ in items], dtype="int64"),
-        "cluster_id": pd.array([v for _, v in items], dtype="int64")})
+    Scale shape: the pair emission/reduction is distributed (see
+    ngram_jaccard_pairs); the component labeling auto-selects by pair
+    count (pipelines.components.cluster_df): a driver union-find below
+    CLUSTER_TASK_MAX_PAIRS (strictly faster while pairs fit one
+    machine), iterative min-label propagation over the edge Dataset
+    above it — O(component diameter) bucketed-shuffle rounds, no
+    driver-side O(pairs) structure.  ``force_path`` pins "driver" /
+    "distributed" (parity tests); both produce identical labels."""
+    from larbin_ray.pipelines.components import cluster_df
+
+    lab = cluster_df(_ngram_jaccard_pairs_ds(sf_dir, n, threshold),
+                     "doc_a", "doc_b", force_path)
+    return lab.rename(columns={"node": "doc_id", "label": "cluster_id"})
 
 
 # ---------------------------------------------------------------------------

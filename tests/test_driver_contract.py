@@ -68,13 +68,15 @@ def test_rows_only_queries_are_stable(entry_mod):
     qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
     rows_only = [n for n in qs if n not in sqls]
     assert rows_only, "expected some rows-only entries"
+    def _nrows(r):
+        import ray.data
+        if isinstance(r, ray.data.Dataset):
+            return r.count()
+        return r.num_rows if hasattr(r, "num_rows") else len(r)
+
     counts = {}
     for name in rows_only:
-        a = qs[name](SF)
-        b = qs[name](SF)
-        na = a.num_rows if hasattr(a, "num_rows") else len(a)
-        nb = b.num_rows if hasattr(b, "num_rows") else len(b)
-        counts[name] = (na, nb)
+        counts[name] = (_nrows(qs[name](SF)), _nrows(qs[name](SF)))
     bad = {n: c for n, c in counts.items() if c[0] != c[1] or c[0] == 0}
     assert not bad, f"unstable or empty rows-only queries: {bad}"
 

@@ -322,3 +322,55 @@ def test_curate_paths_agree(ray_session):
     a = curate_documents(SF, force_path="broadcast")
     b = curate_documents(SF, force_path="cogroup")
     assert a.equals(b), (len(a), len(b))
+
+
+def test_connected_components_distributed_unit(ray_session):
+    """Min-label propagation over an edge Dataset: a long chain (many
+    propagation rounds, nodes scattered across shuffle buckets), a
+    separate component, dup/mirrored edges, self-contained ids."""
+    import ray.data as rd
+
+    from larbin_ray.pipelines.components import connected_components
+    from larbin_ray.pipelines.textops import cluster_pairs
+
+    # chain 0-10-20-...-150 (diameter 15 forces >1 round), triangle
+    # {1000,2000,3000}, mirrored + duplicate edges sprinkled in
+    chain = [(i * 10, (i + 1) * 10) for i in range(15)]
+    tri = [(1000, 2000), (2000, 3000), (3000, 1000)]
+    edges = chain + tri + [(b, a) for a, b in chain[:4]] + tri[:2]
+    df = pd.DataFrame({"a": [e[0] for e in edges],
+                       "b": [e[1] for e in edges]})
+    got = connected_components(rd.from_pandas(df), "a", "b", n_buckets=5)
+    ref = sorted(cluster_pairs(df["a"].to_numpy(), df["b"].to_numpy()).items())
+    assert list(map(tuple, got.values)) == ref
+
+    # empty edge set
+    empty = connected_components(
+        rd.from_pandas(pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                     "b": pd.array([], dtype="int64")})),
+        "a", "b")
+    assert empty.empty
+
+
+def test_dedup_clusters_paths_agree(ray_session):
+    """The distributed component path must label exactly like the
+    driver union-find on a fixture whose components span buckets."""
+    from larbin_ray.pipelines.textops import dedup_clusters
+
+    drv = dedup_clusters(SF, force_path="driver")
+    dst = dedup_clusters(SF, force_path="distributed")
+    pd.testing.assert_frame_equal(
+        drv.sort_values("doc_id").reset_index(drop=True),
+        dst.sort_values("doc_id").reset_index(drop=True))
+    assert not drv.empty
+
+
+def test_embedding_dup_clusters_paths_agree(ray_session):
+    from larbin_ray.pipelines.similarity import embedding_dup_clusters
+
+    drv = embedding_dup_clusters(SF, force_path="driver")
+    dst = embedding_dup_clusters(SF, force_path="distributed")
+    pd.testing.assert_frame_equal(
+        drv.sort_values("vec_id").reset_index(drop=True),
+        dst.sort_values("vec_id").reset_index(drop=True))
+    assert not drv.empty
