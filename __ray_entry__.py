@@ -69,7 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from larbin_ray.pipelines import relational as R
     from larbin_ray.pipelines import similarity as S
     from larbin_ray.pipelines import textops as T
-    from larbin_ray.pipelines.multimodal import media_features as _media_features
+    from larbin_ray.pipelines.multimodal import (
+        media_features as _media_features,
+        media_features_decoded as _media_features_decoded,
+    )
 
     def crawl_pages(sf_dir: str):
         import pandas as pd
@@ -154,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                      planes=128, bands=64),
         # multimodal (binary media columns through actor-pool stages)
         "media_features": _media_features,
+        "media_features_decoded": _media_features_decoded,
         # composite curation (dedup keeper + quality gates)
         "curate_documents": T.curate_documents,
     }
@@ -541,4 +545,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS pred_lang
             FROM c
         """,
+        # real-codec media rows: expected stats from the PRE-ENCODE
+        # ground-truth arrays, inlined as a VALUES table (the media
+        # table is synthesized in-process, not an sf_dir view) — a
+        # value match pins encode -> distributed decode -> stats
+        "media_features_decoded": _media_decoded_sql(),
     }
+
+
+def _media_decoded_sql() -> str:
+    from larbin_ray.pipelines.multimodal import media_decoded_oracle_sql
+    return media_decoded_oracle_sql()

@@ -38,15 +38,65 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _image_stats(arr: np.ndarray, thumb: int = 32) -> dict:
+    """Pixel stats + thumbnail dims of a decoded (h, w, 3) array — THE
+    formulas ImageFeatures emits, shared with the truth side
+    (media_truth) so the value-exact oracle checks the codec round-trip,
+    never formula drift."""
+    scale = max(arr.shape[0], arr.shape[1]) / thumb
+    return {"px_mean": round(float(arr.mean()), 4),
+            "px_std": round(float(arr.std()), 4),
+            "decoded_h": arr.shape[0], "decoded_w": arr.shape[1],
+            "thumb_h": max(1, int(arr.shape[0] / scale)),
+            "thumb_w": max(1, int(arr.shape[1] / scale))}
+
+
+def _audio_stats(wave: np.ndarray) -> dict:
+    """Waveform stats of a decoded mono float wave — shared by
+    AudioFeatures and the truth side (see _image_stats)."""
+    return {"rms": round(float(np.sqrt((wave ** 2).mean())), 6),
+            "zcr": round(float((np.diff(np.sign(wave)) != 0).mean()), 6),
+            "n_samples": len(wave)}
+
+
 def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
     """Deterministic synthetic media table.  Every second image row is
     a REAL PNG (encoded by the stdlib codec in kernels/png.py) and
     every second audio row a REAL 16-bit PCM WAV (kernels/wav.py) so
     the decode stages run on genuine encoded bytes; the rest are seeded
     noise stand-ins that exercise the fake-backend path."""
+    return _gen_media(n, seed)[0]
+
+
+def media_truth(n: int = 120, seed: int = 42) -> pd.DataFrame:
+    """Expected decoded stats for the REAL-codec rows of gen_media(n,
+    seed), in long form (media_id, metric, value) — computed from the
+    PRE-ENCODE ground-truth arrays (the pixel/sample data gen_media fed
+    the encoders), NOT by decoding, so a value match pins the whole
+    encode->Ray-pipeline->decode->stats chain.  The audio truth applies
+    the encoder's documented int16 quantization (kernels/wav.py) before
+    the stats — the only lossy step in the chain."""
+    _tbl, truths = _gen_media(n, seed)
+    rows = []
+    for mid in sorted(truths):
+        kind, arr = truths[mid]
+        if kind == "image":
+            stats = _image_stats(arr)
+        else:
+            pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+            stats = _audio_stats(pcm.astype(np.float32) / 32767.0)
+        rows.extend((mid, k, float(v)) for k, v in sorted(stats.items()))
+    return pd.DataFrame(rows, columns=["media_id", "metric", "value"]) \
+        .astype({"media_id": "int64", "metric": "string", "value": "float64"})
+
+
+def _gen_media(n: int, seed: int) -> tuple[pa.Table, dict]:
+    """(media table, {media_id: (kind, ground-truth array)} for the
+    real-codec rows)."""
     from larbin_ray.kernels.png import png_encode
     from larbin_ray.kernels.wav import wav_encode
 
+    truths: dict[int, tuple[str, np.ndarray]] = {}
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -66,6 +116,7 @@ def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
                             rng.randint(0, 256, (ph, pw), dtype=np.uint8)],
                            axis=2)
             payload, codec, w, h = png_encode(arr), "png", pw, ph
+            truths[i] = ("image", arr)
         elif kind == "audio" and (i // 3) % 2 == 0:
             # real WAV: deterministic tone + seeded noise, short clip
             sr = 16_000
@@ -74,6 +125,7 @@ def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
             wave = (0.4 * np.sin(2 * np.pi * (200 + i * 13) * t)
                     + 0.05 * rng.standard_normal(len(t)))
             payload, codec = wav_encode(wave, sr), "pcm_s16le"
+            truths[i] = ("audio", wave)
         else:
             payload = rng.bytes(int(rng.randint(2_000, 40_000)))
         rows["media_id"].append(i)
@@ -84,7 +136,9 @@ def gen_media(n: int = 120, seed: int = 42) -> pa.Table:
         rows["sample_rate"].append(16_000 if kind == "audio" else 0)
         rows["duration_ms"].append(int(rng.randint(500, 30_000)) if kind != "image" else 0)
         rows["codec"].append(codec)
-    return pa.table({k.name: pa.array(rows[k.name], k.type) for k in MEDIA_SCHEMA})
+    tbl = pa.table({k.name: pa.array(rows[k.name], k.type)
+                    for k in MEDIA_SCHEMA})
+    return tbl, truths
 
 
 class FakeCodecBackend:
@@ -148,25 +202,19 @@ class ImageFeatures:
         self.thumb = thumb
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        means, stds, shapes_w, shapes_h, thumbs_w, thumbs_h = [], [], [], [], [], []
-        for payload, w, h in zip(t["payload"].to_pylist(),
-                                 t["width"].to_pylist(), t["height"].to_pylist()):
-            arr = self.backend.decode_image(payload, w, h)
-            means.append(round(float(arr.mean()), 4))
-            stds.append(round(float(arr.std()), 4))
-            shapes_h.append(arr.shape[0])
-            shapes_w.append(arr.shape[1])
-            scale = max(arr.shape[0], arr.shape[1]) / self.thumb
-            thumbs_h.append(max(1, int(arr.shape[0] / scale)))
-            thumbs_w.append(max(1, int(arr.shape[1] / scale)))
+        stats = [_image_stats(self.backend.decode_image(payload, w, h),
+                              self.thumb)
+                 for payload, w, h in zip(t["payload"].to_pylist(),
+                                          t["width"].to_pylist(),
+                                          t["height"].to_pylist())]
         return pa.table({
             "media_id": t["media_id"],
-            "px_mean": pa.array(means, pa.float64()),
-            "px_std": pa.array(stds, pa.float64()),
-            "decoded_w": pa.array(shapes_w, pa.int32()),
-            "decoded_h": pa.array(shapes_h, pa.int32()),
-            "thumb_w": pa.array(thumbs_w, pa.int32()),
-            "thumb_h": pa.array(thumbs_h, pa.int32()),
+            "px_mean": pa.array([s["px_mean"] for s in stats], pa.float64()),
+            "px_std": pa.array([s["px_std"] for s in stats], pa.float64()),
+            "decoded_w": pa.array([s["decoded_w"] for s in stats], pa.int32()),
+            "decoded_h": pa.array([s["decoded_h"] for s in stats], pa.int32()),
+            "thumb_w": pa.array([s["thumb_w"] for s in stats], pa.int32()),
+            "thumb_h": pa.array([s["thumb_h"] for s in stats], pa.int32()),
         })
 
 
@@ -177,19 +225,15 @@ class AudioFeatures:
         self.backend = default_backend()
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rms, zcr, n_samples = [], [], []
-        for payload, sr, dur in zip(t["payload"].to_pylist(),
-                                    t["sample_rate"].to_pylist(),
-                                    t["duration_ms"].to_pylist()):
-            wave = self.backend.decode_audio(payload, sr, dur)
-            rms.append(round(float(np.sqrt((wave ** 2).mean())), 6))
-            zcr.append(round(float((np.diff(np.sign(wave)) != 0).mean()), 6))
-            n_samples.append(len(wave))
+        stats = [_audio_stats(self.backend.decode_audio(payload, sr, dur))
+                 for payload, sr, dur in zip(t["payload"].to_pylist(),
+                                             t["sample_rate"].to_pylist(),
+                                             t["duration_ms"].to_pylist())]
         return pa.table({
             "media_id": t["media_id"],
-            "rms": pa.array(rms, pa.float64()),
-            "zcr": pa.array(zcr, pa.float64()),
-            "n_samples": pa.array(n_samples, pa.int64()),
+            "rms": pa.array([s["rms"] for s in stats], pa.float64()),
+            "zcr": pa.array([s["zcr"] for s in stats], pa.float64()),
+            "n_samples": pa.array([s["n_samples"] for s in stats], pa.int64()),
         })
 
 
@@ -261,6 +305,54 @@ def media_pipeline(media: pa.Table, out_dir: str | None = None,
         for kind, d in out.items():
             d.write_parquet(f"{out_dir}/kind={kind}")
     return out
+
+
+MEDIA_DECODED_N = 360
+
+
+def media_features_decoded(sf_dir: str) -> pd.DataFrame:
+    """queries() entry, VALUE-EXACT: the decoded stats of the real-codec
+    rows (png / pcm_s16le) in long form (media_id, metric, value).  The
+    oracle is the inlined ``media_truth`` table — expected values from
+    the PRE-ENCODE ground-truth arrays — so the check pins the
+    encode -> Ray actor-pool decode -> stats chain end to end.
+    Deliberately sf-independent (the media table is synthesized, not
+    read from sf_dir), keeping the oracle SQL a static string at any
+    graded scale."""
+    import pyarrow.compute as pc
+
+    from larbin_ray.pipelines import pool_size
+    from larbin_ray.pipelines.extract import from_table
+
+    media = gen_media(MEDIA_DECODED_N, seed=42)
+    c = pool_size()
+    img = from_table(media.filter(pc.equal(media["codec"], "png")), 4) \
+        .map_batches(ImageFeatures, batch_format="pyarrow", batch_size=64,
+                     concurrency=c)
+    aud = from_table(media.filter(pc.equal(media["codec"], "pcm_s16le")), 4) \
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=64,
+                     concurrency=c)
+    img_df, aud_df = img.to_pandas(), aud.to_pandas()
+    img_long = img_df.melt(id_vars="media_id", var_name="metric",
+                           value_name="value")
+    aud_long = aud_df.melt(id_vars="media_id", var_name="metric",
+                           value_name="value")
+    out = pd.concat([img_long, aud_long], ignore_index=True) \
+        .astype({"media_id": "int64", "metric": "string", "value": "float64"})
+    return out.sort_values(["media_id", "metric"]).reset_index(drop=True)
+
+
+def media_decoded_oracle_sql() -> str:
+    """DuckDB oracle for media_features_decoded: the truth table inlined
+    as VALUES with string-literal DOUBLE casts (exact shortest-repr
+    round-trip, no decimal-type unification surprises)."""
+    t = media_truth(MEDIA_DECODED_N, seed=42)
+    vals = ",\n".join(
+        f"(CAST({int(r.media_id)} AS BIGINT), '{r.metric}', "
+        f"CAST('{float(r.value)!r}' AS DOUBLE))"
+        for r in t.itertuples())
+    return ("SELECT media_id, metric, value FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, metric, value)")
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:

@@ -167,3 +167,23 @@ def test_audio_stage_decodes_real_wav(ray_session):
         assert abs(out["rms"][row].as_py()
                    - float(np.sqrt((wave ** 2).mean()))) < 1e-4
         assert out["n_samples"][row].as_py() == len(wave)
+
+
+def test_media_features_decoded_matches_truth_oracle(ray_session):
+    """The value-exact slice: decoded stats of real-codec rows must equal
+    the pre-encode ground-truth stats (driver compare semantics: sorted
+    rows/columns, exact values)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    mine = entry.queries()["media_features_decoded"]("/root/testdata/sf0.001")
+    ref = duckdb.connect().execute(
+        entry.oracle_sql()["media_features_decoded"]).df()
+    cols = sorted(mine.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = ref[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    # both real codecs are represented
+    assert set(mine["metric"]) >= {"px_mean", "rms", "n_samples", "thumb_w"}
