@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
                         "port as a watched seed file: 'priority:P depth:D "
                         "test:T' header lines followed by URLs; appended "
                         "lines are drained at every tick start)")
+    p.add_argument("--submit-port", type=int, default=None, metavar="PORT",
+                   help="bind the live TCP submission daemon on "
+                        "127.0.0.1:PORT (0 = ephemeral) — the reference "
+                        "input port (io/input.cxx): connect and send a "
+                        "'priority:P depth:D test:T' header line, then URL "
+                        "lines; drained at every tick start")
     p.add_argument("--stats-report", action="store_true",
                    help="print the printStats-style text report at the end "
                         "(needs --checkpoint: the report reads the metrics "
@@ -80,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     res = ray_crawl_from_conf(
         pages, args.conf, out_dir=args.out, build_rows=False,
         checkpoint_dir=args.checkpoint, resume=args.resume,
-        max_ticks=args.max_ticks, watch_file=args.watch_file)
+        max_ticks=args.max_ticks, watch_file=args.watch_file,
+        submit_port=args.submit_port)
     wall = time.time() - t0
 
     if args.stats_report and args.checkpoint:

@@ -164,7 +164,9 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
               resume: bool = False,
               inject: dict[int, list[str]] | None = None,
               watch_file: str | None = None,
-              watch_feed: dict[int, str] | None = None) -> CrawlResult:
+              watch_feed: dict[int, str] | None = None,
+              submit_port: int | None = None,
+              submit_feed: dict[int, str] | None = None) -> CrawlResult:
     """Run the full crawl; returns the same result shape as the oracle.
 
     ``build_rows=False`` skips materializing ``res.fetched`` row dicts
@@ -182,7 +184,17 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
     drained at every tick start.  ``watch_feed`` maps tick -> text the
     engine itself appends to the file before draining that tick — the
     deterministic harness for exercising mid-crawl submissions in
-    tests; production writers simply append to the file at will."""
+    tests; production writers simply append to the file at will.
+
+    ``submit_port`` starts the real TCP daemon (SubmissionServer;
+    0 = ephemeral port): clients connect to localhost:port and speak
+    the reference protocol verbatim — header line, URL lines, test=0
+    set-without-test, per-connection state (io/input.cxx:252-284).
+    The queue drains at tick starts through the same admission path as
+    the watched file.  ``submit_feed`` maps tick -> text the engine
+    itself sends through a real client socket before draining that
+    tick (the deterministic test harness; wait is handshake-based, no
+    sleeps)."""
     cfg = cfg or CrawlConfig()
     max_ticks = max_ticks or cfg.max_ticks
 
@@ -194,7 +206,7 @@ def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
     try:
         return _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen,
                           dup, build_rows, checkpoint_dir, resume, inject,
-                          watch_file, watch_feed)
+                          watch_file, watch_feed, submit_port, submit_feed)
     finally:
         for a in sched + seen + (dup or []):
             ray.kill(a)
@@ -340,7 +352,8 @@ def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen,
 
 def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                build_rows=True, checkpoint_dir=None, resume=False, inject=None,
-               watch_file=None, watch_feed=None):
+               watch_file=None, watch_feed=None, submit_port=None,
+               submit_feed=None):
     import os as _os
     import time as _time
     debug = bool(_os.environ.get("LARBIN_TICK_DEBUG"))
@@ -360,6 +373,26 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             # re-drain (test=0 lines would force a second fetch) and
             # the resumed crawl would diverge from an uninterrupted one.
             watcher._offset = _os.path.getsize(watch_file)
+    server = None
+    if submit_port is not None:
+        from larbin_ray.sources.submit import SubmissionServer
+        server = SubmissionServer(port=submit_port)
+    try:
+        return _run_crawl_inner(
+            pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
+            build_rows, checkpoint_dir, resume, inject, watcher, watch_file,
+            watch_feed, server, submit_feed, debug, phase_t, _n_cpus)
+    finally:
+        if server is not None:
+            server.close()
+
+
+def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
+                     build_rows, checkpoint_dir, resume, inject, watcher,
+                     watch_file, watch_feed, server, submit_feed, debug,
+                     phase_t, _n_cpus):
+    import os as _os
+    import time as _time
 
     def _clk(name, t0):
         phase_t[name] = phase_t.get(name, 0.0) + _time.time() - t0
@@ -436,9 +469,29 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     # and resolve hosts the oracle never sees, hence the limit /
     # max_ticks gates; robots and content-dup feed the admission, so
     # those keep the late barrier.)
-    prefire_ok = (watcher is None and not inject and checkpoint_dir is None
+    prefire_ok = (watcher is None and server is None and not inject
+                  and checkpoint_dir is None
                   and not cfg.limit_page and not cfg.limit_time)
     next_begin = None
+    feed_sent = 0               # cumulative submit_feed bytes (handshake)
+
+    def _drain_server() -> bool:
+        """Feed (test harness) + drain the TCP daemon; True if any
+        submission was admitted."""
+        nonlocal feed_sent
+        if submit_feed and tick in submit_feed:
+            import socket as _socket
+            payload = submit_feed[tick].encode("latin-1")
+            with _socket.create_connection((server.host, server.port)) as c:
+                c.sendall(payload)
+            feed_sent += len(payload)
+            if not server.wait_bytes(feed_sent):
+                raise RuntimeError("submit_feed handshake timed out")
+        subs = server.drain()
+        if subs:
+            _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen,
+                               pending_dup)
+        return bool(subs)
 
     # ---- tick loop ----
     for tick in range(start_tick, max_ticks):
@@ -453,6 +506,8 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     _wf.write(watch_feed[tick])
             _drain_submissions(watcher.drain(), res, cfg, sched, seen,
                                n_sched, n_seen, pending_dup)
+        if server is not None:
+            _drain_server()
         injected = (inject or {}).get(tick, [])
         if injected:
             # S2 input-port equivalent: submissions run straight through
@@ -485,17 +540,23 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         queued = sum(b[2] for b in begins)
         if not robots_rows and n_pages_tick == 0:
             if (queued == 0 and not any(t > tick for t in (inject or {}))
-                    and not any(t > tick for t in (watch_feed or {}))):
+                    and not any(t > tick for t in (watch_feed or {}))
+                    and not any(t > tick for t in (submit_feed or {}))):
+                # final poll: honor submissions fully delivered before
+                # the idle-frontier exit (they admit now, dispatch next
+                # tick).  Later arrivals are the daemon regime — a
+                # batch run exits on an idle frontier by design.
+                drained = False
                 if watcher is not None:
-                    # final poll: honor lines fully appended before the
-                    # idle-frontier exit (they admit now, dispatch next
-                    # tick).  Later appends are the daemon regime — a
-                    # batch run exits on an idle frontier by design.
                     subs = watcher.drain()
                     if subs:
                         _drain_submissions(subs, res, cfg, sched, seen,
                                            n_sched, n_seen, pending_dup)
-                        continue
+                        drained = True
+                if server is not None and _drain_server():
+                    drained = True
+                if drained:
+                    continue
                 break
             continue
 

@@ -142,3 +142,72 @@ def test_minhash_uneven_banding(ray_session):
     d = minhash_dedup("/root/testdata/sf0.001", num_hashes=50, bands=16,
                       force_path="data")
     assert t.equals(d)
+
+
+def test_submission_server_protocol_unit():
+    """Real socket daemon: per-connection header state, partial-line
+    buffering across sends, urls-before-header dropped, EOF discards
+    a trailing partial line."""
+    import socket
+
+    from larbin_ray.sources.submit import SubmissionServer
+
+    srv = SubmissionServer(port=0)
+    try:
+        c1 = socket.create_connection((srv.host, srv.port))
+        c1.sendall(b"http://early.example/a.html\n"       # no header yet
+                   b"priority:1 depth:5 test:1\n"
+                   b"http://a.example/x.html\n"
+                   b"http://b.example/y.h")               # partial
+        sent = len(b"http://early.example/a.html\n"
+                   b"priority:1 depth:5 test:1\n"
+                   b"http://a.example/x.html\n"
+                   b"http://b.example/y.h")
+        assert srv.wait_bytes(sent)
+        subs = srv.drain()
+        assert [(s.url, s.depth, s.prio, s.test) for s in subs] == [
+            ("http://a.example/x.html", 5, 0, True)]
+        c1.sendall(b"tml\n")                              # finish the line
+        sent += 4
+        assert srv.wait_bytes(sent)
+        assert [s.url for s in srv.drain()] == ["http://b.example/y.html"]
+        # a SECOND connection starts headerless (per-connection state)
+        c2 = socket.create_connection((srv.host, srv.port))
+        c2.sendall(b"http://dropped.example/\n"
+                   b"priority:0 depth:2 test:0\nhttp://c.example/z.html\nhttp://partial")
+        sent += len(b"http://dropped.example/\n"
+                    b"priority:0 depth:2 test:0\nhttp://c.example/z.html\nhttp://partial")
+        assert srv.wait_bytes(sent)
+        subs = srv.drain()
+        assert [(s.url, s.depth, s.prio, s.test) for s in subs] == [
+            ("http://c.example/z.html", 2, 1, False)]
+        c2.close()                                        # EOF drops partial
+        c1.close()
+        assert srv.drain() == []
+    finally:
+        srv.close()
+
+
+def test_submit_socket_matches_inject_and_watch(ray_session, web, seeds):
+    """The full S2 operational shape: a mid-crawl test=1 submission
+    through a REAL localhost TCP connection produces the identical
+    crawl to inject= and to the oracle — including a test=0 refetch."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from tests.test_crawl_e2e import assert_same_crawl
+
+    urls = ["http://sitee.example/p/0.html", "http://nosuch.example/q.html"]
+    cfg = _cfg()
+    o = oracle_crawl(web, seeds, cfg, inject={3: urls})
+    feed = {3: "priority:1 depth:%d test:1\n%s\n" % (
+        cfg.depth_in_site, "\n".join(urls))}
+    e_sock = ray_crawl(web, seeds, cfg, submit_port=0, submit_feed=feed)
+    assert_same_crawl(o, e_sock)
+
+    # test=0 set-without-test through the socket: refetch of a seen url
+    target = f"http://{seeds[0].split('/')[2]}/p/0.html"
+    o0 = oracle_crawl(web, seeds, cfg,
+                      inject={4: [(target, cfg.depth_in_site, 0, False)]})
+    feed0 = {4: "priority:1 depth:%d test:0\n%s\n" % (cfg.depth_in_site, target)}
+    e0 = ray_crawl(web, seeds, cfg, submit_port=0, submit_feed=feed0)
+    assert_same_crawl(o0, e0)
+    assert [r["url"] for r in o0.fetched].count(target) == 2
