@@ -158,6 +158,99 @@ def _process_task(tick_refs: list, offset: int, length: int,
                           for sid in range(n_sched)])
 
 
+def _early_wave(tick, begin_futs, sched, cfg, n_sched, n_cpus, pages_refs,
+                sink_dir, ship_text, clk):
+    """Per-shard task waves: start shard S's fetch+parse tasks the
+    moment S's ``begin_tick`` lands instead of after a global barrier —
+    the measured 22%-of-wall inter-wave 'begin' bubble becomes overlap
+    (VERDICT r4 #1).  One combined ``ray.wait`` pool holds the not-yet-
+    landed begin refs and the already-submitted task metas; completed
+    metas prefeed their link entries to the shards mid-wave exactly
+    like the global path.
+
+    Ordering is safe by construction: every ctrl consumer either sorts
+    by the unique (tick, ip, is_robots, sub) data key (build_rows /
+    dup mode) or is order-free (throughput counters), robots results
+    apply per-host independently, and pre_admit sorts its buffer by the
+    unique admission key — the e2e suite's bit-exactness invariants
+    hold at any arrival order.  Returns (begins, futs, rob_meta_futs)."""
+    import time as _time
+
+    begin_ref_of = {begin_futs[s][0]: s for s in range(n_sched)}
+    begins: list = [None] * n_sched
+    futs: list = []
+    rob_meta_futs: list = []
+    by_meta: dict = {}
+    meta_buf: list = []
+    task = _process_task.options(num_returns=1 + n_sched)
+    pool = list(begin_ref_of.keys())
+    n_begin_left = n_sched
+    t0 = _time.time()
+
+    def _flush():
+        if meta_buf:
+            for sid2 in range(n_sched):
+                sched[sid2].prefeed_links.remote(
+                    [by_meta[r][1 + sid2] for r in meta_buf])
+            meta_buf.clear()
+
+    while pool:
+        # single-completion waits while begins are outstanding (a begin
+        # must start its shard's tasks the instant it lands); batched
+        # waits after, like the global path's prefeed loop.  Either way
+        # drain everything ALREADY complete in one extra non-blocking
+        # wait — one loop iteration per arrival burst, not per ref.
+        k = 1 if n_begin_left else min(len(pool), 8)
+        done, pool = ray.wait(pool, num_returns=k)
+        if pool:
+            more, pool = ray.wait(pool, num_returns=len(pool), timeout=0)
+            done += more
+        for r in done:
+            sid = begin_ref_of.pop(r, None)
+            if sid is None:
+                meta_buf.append(r)
+                continue
+            rob_s, tbl_s, q_s = ray.get(list(begin_futs[sid]))
+            begins[sid] = (rob_s, tbl_s, q_s)
+            n_begin_left -= 1
+            if n_begin_left == 0:
+                clk("begin", t0)
+                t0 = _time.time()
+            rows_s = len(rob_s) + tbl_s.num_rows
+            if rows_s == 0:
+                continue
+            # this shard's tick slice: its (tiny, rare) robots rows,
+            # then its dispatch-table ref straight from begin_tick
+            refs_s = ([ray.put(_dispatch_table(rob_s))] if rob_s else [])
+            if tbl_s.num_rows:
+                refs_s.append(begin_futs[sid][1])
+            # per-shard batch size targeting the same global ~2 task
+            # waves per CPU per tick (rows_s * n_sched ~ tick rows on
+            # balanced shards; output is batch-size-invariant by test)
+            bs = cfg.parse_batch_size or min(
+                16384, max(512, -(-rows_s * n_sched // (2 * n_cpus))))
+            shard_futs = [
+                task.remote(
+                    refs_s, i, bs, pages_refs, cfg, n_sched,
+                    (f"{sink_dir}/part-s{sid}-{i // bs}.parquet"
+                     if sink_dir is not None else None),
+                    ship_text)
+                for i in range(0, rows_s, bs)]
+            futs.extend(shard_futs)
+            if rob_s:
+                # robots rows sit at the head of THIS shard's slice
+                rob_meta_futs.extend(
+                    f[0] for f in shard_futs[:-(-len(rob_s) // bs)])
+            for f in shard_futs:
+                by_meta[f[0]] = f
+                pool.append(f[0])
+        if len(meta_buf) >= 8 or n_begin_left == 0:
+            _flush()
+    _flush()
+    clk("taskwave" if n_begin_left == 0 else "begin", t0)
+    return begins, futs, rob_meta_futs
+
+
 def ray_crawl(pages: pa.Table, seeds: list[str], cfg: CrawlConfig | None = None,
               out_dir: str | None = None, max_ticks: int | None = None,
               build_rows: bool = True, checkpoint_dir: str | None = None,
@@ -474,6 +567,10 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                   and not cfg.limit_page and not cfg.limit_time)
     next_begin = None
     feed_sent = 0               # cumulative submit_feed bytes (handshake)
+    # next-tick size prediction for the per-shard early-wave gate (None
+    # until the first completed tick: tick 0 / the resume tick always
+    # take the global path)
+    predict_rows = None
 
     def _drain_server() -> bool:
         """Feed (test harness) + drain the TCP daemon; True if any
@@ -532,9 +629,35 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         else:
             begin_futs = [s.begin_tick.options(num_returns=3).remote(tick)
                           for s in sched]
-        _flat = ray.get([r for f in begin_futs for r in f])
-        begins = [tuple(_flat[i:i + 3]) for i in range(0, len(_flat), 3)]
-        _clk("begin", _t0)
+        task_sink = out_dir is not None
+        ship_text = keep_text
+        sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
+        # per-shard early waves whenever the predicted tick size stays
+        # under the Ray Data threshold (prediction = 2x last tick's
+        # max(rows, queued) — conservative against frontier growth; a
+        # miss costs only path choice, never output: both paths are
+        # parity-tested).  Tick 0 / resume tick has no prediction and
+        # takes the global path.
+        early = None
+        if (predict_rows is not None
+                and predict_rows < cfg.ray_data_min_tick_rows):
+            if sink_dir is not None:
+                # clear BEFORE the first early task can write (same
+                # contract as the global path's pre-wave clearing)
+                if _os.path.isdir(sink_dir):
+                    import shutil
+                    shutil.rmtree(sink_dir)
+                _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
+                if _os.path.exists(_patch):
+                    _os.remove(_patch)
+            early = _early_wave(tick, begin_futs, sched, cfg, n_sched,
+                                _n_cpus, pages_refs, sink_dir, ship_text,
+                                _clk)
+            begins = early[0]
+        else:
+            _flat = ray.get([r for f in begin_futs for r in f])
+            begins = [tuple(_flat[i:i + 3]) for i in range(0, len(_flat), 3)]
+            _clk("begin", _t0)
         robots_rows = [r for b in begins for r in b[0]]
         n_pages_tick = sum(b[1].num_rows for b in begins)
         queued = sum(b[2] for b in begins)
@@ -560,40 +683,45 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 break
             continue
 
-        # robots rows first, then each shard's dispatch table in shard
-        # order (same order the old driver-side column build produced);
-        # the shard tables arrive Arrow-ready, so this is a zero-copy
-        # concat, not a per-row python loop
-        _t0 = _time.time()
-        rob_tbl = _dispatch_table(robots_rows) if robots_rows else None
-        parts = ([rob_tbl] if rob_tbl is not None else [])
-        parts += [b[1] for b in begins if b[1].num_rows]
-        tbl = pa.concat_tables(parts)
-        # parse_batch_size=0 -> auto: ~2 task waves per CPU per tick
-        # (config.py rationale); crawl output is batch-size-invariant
-        bs = cfg.parse_batch_size or min(
-            16384, max(512, -(-tbl.num_rows // (2 * _n_cpus))))
-        # the sink is ALWAYS task/batch-side (distributed, resumable);
-        # under page_no_duplicate the statuses resolved to `duplicate` at
-        # the dup barrier are recorded in a tiny per-tick sidecar that
-        # read_crawl_pages applies — page text never ships to the driver
-        task_sink = out_dir is not None
-        ship_text = keep_text
-        used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
-        sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
-        if sink_dir is not None:
-            # rerun over an existing out_dir: clear this tick's slices
-            # (and its dup-status sidecar) so parts from an earlier,
-            # differently-batched run can't survive alongside the fresh
-            # ones.  Resume re-executes whole ticks, so per-tick
-            # clearing composes with checkpoint-granularity resume.
-            if _os.path.isdir(sink_dir):
-                import shutil
-                shutil.rmtree(sink_dir)
-            _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
-            if _os.path.exists(_patch):
-                _os.remove(_patch)
-        _clk("concat", _t0)
+        if early is not None:
+            used_ray_data = False
+            tbl_rows = len(robots_rows) + n_pages_tick
+            _, futs, rob_meta_futs = early
+        else:
+            # robots rows first, then each shard's dispatch table in
+            # shard order (same order the old driver-side column build
+            # produced); the shard tables arrive Arrow-ready, so this is
+            # a zero-copy concat, not a per-row python loop
+            _t0 = _time.time()
+            rob_tbl = _dispatch_table(robots_rows) if robots_rows else None
+            parts = ([rob_tbl] if rob_tbl is not None else [])
+            parts += [b[1] for b in begins if b[1].num_rows]
+            tbl = pa.concat_tables(parts)
+            tbl_rows = tbl.num_rows
+            # parse_batch_size=0 -> auto: ~2 task waves per CPU per tick
+            # (config.py rationale); crawl output is batch-size-invariant
+            bs = cfg.parse_batch_size or min(
+                16384, max(512, -(-tbl.num_rows // (2 * _n_cpus))))
+            # the sink is ALWAYS task/batch-side (distributed,
+            # resumable); under page_no_duplicate the statuses resolved
+            # to `duplicate` at the dup barrier are recorded in a tiny
+            # per-tick sidecar that read_crawl_pages applies — page text
+            # never ships to the driver
+            used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
+            if sink_dir is not None:
+                # rerun over an existing out_dir: clear this tick's
+                # slices (and its dup-status sidecar) so parts from an
+                # earlier, differently-batched run can't survive
+                # alongside the fresh ones.  Resume re-executes whole
+                # ticks, so per-tick clearing composes with
+                # checkpoint-granularity resume.
+                if _os.path.isdir(sink_dir):
+                    import shutil
+                    shutil.rmtree(sink_dir)
+                _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
+                if _os.path.exists(_patch):
+                    _os.remove(_patch)
+            _clk("concat", _t0)
         pre_futs = None     # set when admission is fired early at wave end
         chain = None        # set when the WHOLE chain is wired at wave end
         robots_sent = False  # robots results already rode the pre_admit RPC
@@ -610,43 +738,51 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 batch_format="pyarrow", batch_size=bs)
             ctrl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
         else:
+            if early is None:
+                _t0 = _time.time()
+                # robots rows (rare, small) are the only part the driver
+                # puts; the shard dispatch tables travel as their
+                # begin_tick return refs — empty shard tables contribute
+                # 0 rows to the task-side concat, so the offsets computed
+                # from the driver's `tbl` match
+                tick_refs = (([ray.put(rob_tbl)] if rob_tbl is not None else [])
+                             + [f[1] for f in begin_futs])
+                task = _process_task.options(num_returns=1 + n_sched)
+                futs = [
+                    task.remote(
+                        tick_refs, i, bs, pages_refs, cfg, n_sched,
+                        f"{sink_dir}/part-{i // bs}.parquet" if task_sink else None,
+                        ship_text)
+                    for i in range(0, tbl.num_rows, bs)]
+                # robots rows sit at the head of the global table
+                rob_meta_futs = ([f[0] for f in
+                                  futs[:-(-len(robots_rows) // bs)]]
+                                 if robots_rows else [])
+                _clk("submit", _t0)
+                _t0 = _time.time()
+                # each task returns (meta table, entries-shard-0, ..., -N).
+                # The driver waits on the meta refs and, as tasks COMPLETE,
+                # forwards their entry refs to the scheduler shards
+                # (prefeed_links): the shards' entry deserialize+buffer work
+                # runs in the shadow of the wave instead of inside the
+                # admission barrier.  The shards never block — a forwarded
+                # ref is already complete (all of a task's returns commit
+                # when it exits).  (Streaming refs from INSIDE the tasks was
+                # tried and measured 20-25% slower: actors then block in
+                # ray.get on unfinished outputs, pin workers, and trigger
+                # the raylet's blocked-worker handling; pre_admit sorts the
+                # buffer by the unique admission key, so arrival order
+                # cannot change the result.)
+                by_meta = {f[0]: f for f in futs}
+                pending = [f[0] for f in futs]
+                while pending:
+                    done, pending = ray.wait(
+                        pending, num_returns=min(len(pending), 8))
+                    for sid in range(n_sched):
+                        sched[sid].prefeed_links.remote(
+                            [by_meta[r][1 + sid] for r in done])
+                _clk("taskwave", _t0)
             _t0 = _time.time()
-            # robots rows (rare, small) are the only part the driver puts;
-            # the shard dispatch tables travel as their begin_tick return
-            # refs — empty shard tables contribute 0 rows to the task-side
-            # concat, so the offsets computed from the driver's `tbl` match
-            tick_refs = (([ray.put(rob_tbl)] if rob_tbl is not None else [])
-                         + [f[1] for f in begin_futs])
-            task = _process_task.options(num_returns=1 + n_sched)
-            futs = [
-                task.remote(
-                    tick_refs, i, bs, pages_refs, cfg, n_sched,
-                    f"{sink_dir}/part-{i // bs}.parquet" if task_sink else None,
-                    ship_text)
-                for i in range(0, tbl.num_rows, bs)]
-            _clk("submit", _t0)
-            _t0 = _time.time()
-            # each task returns (meta table, entries-shard-0, ..., -N).
-            # The driver waits on the meta refs and, as tasks COMPLETE,
-            # forwards their entry refs to the scheduler shards
-            # (prefeed_links): the shards' entry deserialize+buffer work
-            # runs in the shadow of the wave instead of inside the
-            # admission barrier.  The shards never block — a forwarded
-            # ref is already complete (all of a task's returns commit
-            # when it exits).  (Streaming refs from INSIDE the tasks was
-            # tried and measured 20-25% slower: actors then block in
-            # ray.get on unfinished outputs, pin workers, and trigger
-            # the raylet's blocked-worker handling; pre_admit sorts the
-            # buffer by the unique admission key, so arrival order
-            # cannot change the result.)
-            by_meta = {f[0]: f for f in futs}
-            pending = [f[0] for f in futs]
-            while pending:
-                done, pending = ray.wait(
-                    pending, num_returns=min(len(pending), 8))
-                for sid in range(n_sched):
-                    sched[sid].prefeed_links.remote(
-                        [by_meta[r][1 + sid] for r in done])
             if dup is None and not robots_rows:
                 # nothing downstream can feed this tick's admission
                 # (dup_parents stays [], robots_payload stays {}): start
@@ -654,17 +790,16 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 # driver's ctrl processing below
                 pre_futs = _fire_pre_admit(sched, [], None, n_seen)
             elif dup is None and not build_rows:
-                # robots tick, throughput mode: the robots results sit in
-                # the first ceil(n_rob/bs) task metas — all complete at
-                # wave end — and the late robots_mid pass reads the SAME
-                # rows in the SAME order (throughput mode never sorts
-                # ctrl; it is the concat of these metas).  Extract them
-                # now and let them ride the pre_admit RPC, so robots
-                # ticks overlap the admission chain too.  (build_rows /
-                # dup mode keeps the late barrier: there the robots
-                # application order follows the sorted ctrl.)
-                rob_metas = ray.get(
-                    [f[0] for f in futs[:-(-len(robots_rows) // bs)]])
+                # robots tick, throughput mode: the robots results sit
+                # in the head task metas (rob_meta_futs — global-table
+                # head, or each shard's slice head under early waves),
+                # all complete at wave end.  Extract them now and let
+                # them ride the pre_admit RPC, so robots ticks overlap
+                # the admission chain too; application is per-host
+                # independent, so meta order is immaterial.  (build_rows
+                # / dup mode keeps the late barrier: there the robots
+                # payload is read from the sorted ctrl.)
+                rob_metas = ray.get(rob_meta_futs)
                 payload: dict[int, list] = {}
                 for mt in rob_metas:
                     mrob = mt["is_robots"].to_numpy(zero_copy_only=False)
@@ -687,7 +822,7 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     s.begin_tick.options(num_returns=3).remote(tick + 1)
                     for s in sched]
             ctrl = pa.concat_tables(ray.get([f[0] for f in futs]))
-            _clk("taskwave", _t0)
+            _clk("wave_end", _t0)
 
         _t0 = _time.time()
         # the global fetch order is observable only through the content-dup
@@ -806,8 +941,13 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                 robots_by_shard=robots_payload, prefired=pre_futs)
         _clk("admit", _t0)
 
+        # early-wave gate for the NEXT tick: frontier growth between
+        # consecutive ticks is bounded by per-IP politeness (tick rows ~
+        # active IPs, not queue depth), so 4x last rows is a safe
+        # envelope; a miss only picks the other parity-tested path
+        predict_rows = 4 * tbl_rows
         metrics_rows.append({
-            "tick": tick, "rows": tbl.num_rows,
+            "tick": tick, "rows": tbl_rows,
             "robots": int(len(robots_rows)),
             "pages": int(n_pages_tick),
             "cum_success": int(res.answers["success"]),
@@ -852,7 +992,7 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         if debug:
             # nb: 'admit' times only the ref wiring — the chain itself
             # runs actor-side and overlaps the NEXT tick's begin phase
-            print(f"[tick {tick}] rows={tbl.num_rows} " +
+            print(f"[tick {tick}] rows={tbl_rows} " +
                   " ".join(f"{k}={v:.2f}" for k, v in sorted(phase_t.items())),
                   flush=True)
             phase_t.clear()

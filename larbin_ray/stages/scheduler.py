@@ -80,6 +80,14 @@ class SchedulerShardCore:
         self._buffer: list[tuple] = []   # (akey, host, port, file, depth)
         self._batch_tokens: set[str] = set()   # submit_links_once dedup
         self._ip_enc_cache: dict[str, tuple[int, int]] = {}  # ip -> int64 pair
+        # cumulative seconds per admission-chain phase (diagnostics;
+        # read via stats()["chain_t"] — negligible overhead)
+        self._chain_t: dict[str, float] = {}
+
+    def _clk(self, name: str, t0: float) -> None:
+        import time
+        self._chain_t[name] = (self._chain_t.get(name, 0.0)
+                               + time.perf_counter() - t0)
 
     # ---- actor-to-actor link flow (no per-candidate driver work) ----
     # Parse tasks push link entries here directly (any arrival order
@@ -128,9 +136,13 @@ class SchedulerShardCore:
         shard's own entries list, returned by a fetch+parse task as a
         dedicated per-shard task output — no producer ever blocks on
         this actor."""
+        import time
+
         import ray as _ray
+        t0 = time.perf_counter()
         for payload in _ray.get(refs):
             self._buffer.extend(payload)
+        self._clk("prefeed", t0)
 
     def prefeed_links(self, refs: list) -> None:
         """Mid-wave entry delivery: the DRIVER forwards refs of tasks it
@@ -149,11 +161,14 @@ class SchedulerShardCore:
         the driver's per-tick table build shrinks to a zero-copy
         concat_tables (measured ~2 s of serial driver work per 400k-page
         crawl before this)."""
+        import time
+        t0 = time.perf_counter()
         robots_rows = self.core.resolve_new_hosts(tick)
         page_cols = self.core.dispatch_columns(tick)
         page_tbl = pa.table({n: pa.array(page_cols[n],
                                          DISPATCH_SCHEMA.field(n).type)
                              for n in DISPATCH_SCHEMA.names})
+        self._clk("begin_tick", t0)
         return robots_rows, page_tbl, self.core.queued_count()
 
     def pre_admit_links(self, dup_parents: list[tuple],
@@ -163,8 +178,11 @@ class SchedulerShardCore:
         before the fast-checks, matching the oracle's end-of-tick
         order).  Entry refs were already delivered mid-wave by
         prefeed_links."""
+        import time
+
         import numpy as np
 
+        t0 = time.perf_counter()
         if robots_items:
             self.robots_results(list(robots_items))
         from operator import itemgetter
@@ -176,6 +194,8 @@ class SchedulerShardCore:
         self._buffer = []
         self._batch_tokens.clear()
         buf.sort(key=itemgetter(0, 1, 2, 3))
+        self._clk("pre_sort", t0)
+        t0 = time.perf_counter()
         recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
                        cookie=e[11] if len(e) > 11 else None, hc=e[8])
                 for e in buf]
@@ -183,7 +203,10 @@ class SchedulerShardCore:
         # input-port injections): they bypass the initOK fast-fails,
         # matching the oracle's admit(skip_fast=True)
         skip = [e[10] == -1 for e in buf]
+        self._clk("pre_recs", t0)
+        t0 = time.perf_counter()
         self._survivors = self.core.pre_admit(recs, skip)
+        self._clk("pre_admit", t0)
         # numpy for the numeric key columns (fast pickling + fast driver
         # merge).  The parent ip participates in the global admission
         # sort; encoding it as a 16-byte big-endian int pair PRESERVES
@@ -255,14 +278,19 @@ class SchedulerShardCore:
         pre_admit survivors and enqueue the new ones.  ``parts_refs``
         are refs to (idx, verdict) pairs — one per seen shard — read
         straight from plasma (zero-copy numpy)."""
+        import time
+
         import numpy as np
         import ray as _ray
 
+        t0 = time.perf_counter()
         v = np.zeros(len(self._survivors), dtype=bool)
         for idx, verd in _ray.get(list(parts_refs)):
             if len(idx):
                 v[idx] = verd
-        return self.enqueue_verdicts(v)
+        n = self.enqueue_verdicts(v)
+        self._clk("apply", t0)
+        return n
 
     def resolve_new_hosts(self, tick: int) -> list[dict]:
         return self.core.resolve_new_hosts(tick)
@@ -283,7 +311,8 @@ class SchedulerShardCore:
                 "hosts": len(self.core.hosts),
                 "ips": len(self.core.ips),
                 "max_host_ram": self.core.max_host_ram,
-                "overflow": len(self.core.overflow)}
+                "overflow": len(self.core.overflow),
+                "chain_t": dict(self._chain_t)}
 
     # ---- checkpoint / restore (SURVEY.md K6/K7, S3/S4) ----
     # The reference persists disk fifos + the seen bitset on a rotation
