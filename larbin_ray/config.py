@@ -100,6 +100,13 @@ class CrawlConfig:
     # (tests/test_fetch_buckets.py).
     fetch_num_buckets: int = 0
     fetch_bucket_bytes: int = 4 << 30
+    # bucketed-fetch backend: None = one object-store entry per bucket;
+    # a directory path = the real-100-TB form — put_pages runs a
+    # distributed write_parquet(partition_cols=["bucket"]) job and
+    # workers read bucket directories lazily (no driver-side partition
+    # pass, no corpus in plasma).  Output-identical to the object-store
+    # backend (tests/test_fetch_buckets.py).
+    fetch_parquet_dir: str | None = None
     # rows per fetch+parse task/batch.  0 = auto: size tasks to the
     # EXECUTOR, not the data — ceil(tick_rows / (2 x cluster CPUs)),
     # clamped to [512, 16384], so a tick always yields ~2 waves of

@@ -497,7 +497,7 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         hb = (pages.column("html").nbytes
               if "html" in pages.column_names else 0)
         n_buckets = max(1, -(-hb // cfg.fetch_bucket_bytes))
-    pages_refs = put_pages(pages, n_buckets)
+    pages_refs = put_pages(pages, n_buckets, cfg.fetch_parquet_dir)
     fetch_fn = make_fetch_fn(pages_refs)
     res = CrawlResult()
     if not build_rows:

@@ -99,17 +99,24 @@ def _url_bucket_array(urls: pa.Array | pa.ChunkedArray,
     return (hash_str_array(urls) % np.uint64(num_buckets)).astype(np.int64)
 
 
-def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
-    """Publish the pages table to the object store; returns the list of
-    bucket refs (length 1 = the broadcast fast path).
+def put_pages(pages: pa.Table, num_buckets: int = 1,
+              parquet_dir: str | None = None) -> list:
+    """Publish the pages table; returns the list of bucket handles
+    (length 1 = the broadcast fast path).
 
     ``num_buckets > 1`` hash-partitions the corpus by ``hash64(url) % B``
-    into B independent objects — the design path once the corpus
-    outgrows a single broadcast (see module docstring).  The partition
-    pass is one driver-side sort+take (the same single copy the
-    broadcast path already pays in ``combine_chunks``); at real scale
-    this pass is a one-time ``write_parquet(partition_cols=[bucket])``
-    job, not driver work.
+    into B independent buckets — the design path once the corpus
+    outgrows a single broadcast (see module docstring).  Two backends:
+
+    - object-store (default): one driver-side sort+take, one plasma
+      object per bucket (handles are ObjectRefs);
+    - ``parquet_dir`` set: the REAL 100-TB form — a distributed Ray
+      Data ``write_parquet(partition_cols=["bucket"])`` job writes one
+      directory per bucket and the handles are directory PATHS that
+      workers read lazily (``_load_bucket``), so the driver never
+      sorts, takes or holds the corpus and a bucket is only ever read
+      by nodes whose frontier partitions hit it.  Both backends are
+      output-identical (tests/test_fetch_buckets.py).
 
     Columns are combined to single chunks HERE (one driver-side copy):
     ``ChunkedArray.take`` is pathologically slow (measured 250 ms for a
@@ -123,7 +130,7 @@ def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
     job_id = ray.get_runtime_context().get_job_id()
     if (_PUT_CACHE and _PUT_CACHE[0][0] is pages
             and _PUT_CACHE[0][2] == job_id
-            and _PUT_CACHE[0][3] == num_buckets):
+            and _PUT_CACHE[0][3] == (num_buckets, parquet_dir)):
         return _PUT_CACHE[0][1]
     cols = ["url", "html"]
     if "latency_ms" in pages.column_names:
@@ -142,6 +149,8 @@ def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
     tbl = tbl.combine_chunks()
     if num_buckets <= 1:
         refs = [ray.put(tbl)]
+    elif parquet_dir is not None:
+        refs = _write_bucketed_parquet(tbl, num_buckets, parquet_dir)
     else:
         bk = _url_bucket_array(tbl["url"], num_buckets)
         order = np.argsort(bk, kind="stable")
@@ -159,8 +168,47 @@ def put_pages(pages: pa.Table, num_buckets: int = 1) -> list:
             slices = [t.take(pa.array(np.arange(t.num_rows))) for t in slices]
         refs = [ray.put(t) for t in slices]
     _PUT_CACHE.clear()           # hold one web at a time (frees the old objects)
-    _PUT_CACHE.append((pages, refs, job_id, num_buckets))
+    _PUT_CACHE.append((pages, refs, job_id, (num_buckets, parquet_dir)))
     return refs
+
+
+def _write_bucketed_parquet(tbl: pa.Table, num_buckets: int,
+                            parquet_dir: str) -> list[str]:
+    """Distributed bucket write: Ray Data adds the bucket column batch-
+    wise and writes hive-partitioned Parquet — no driver-side sort/take.
+    Returns one directory path per bucket id (a bucket no url hashes to
+    simply has no directory; _load_bucket treats it as empty)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from larbin_ray.pipelines.extract import from_table
+
+    if os.path.isdir(parquet_dir):
+        shutil.rmtree(parquet_dir)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(_url_bucket_array(b["url"], num_buckets)))
+
+    n_blocks = max(2, min(32, tbl.num_rows // 4096))
+    (from_table(tbl, n_blocks)
+     .map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(parquet_dir, partition_cols=["bucket"]))
+    return [f"{parquet_dir}/bucket={k}" for k in range(num_buckets)]
+
+
+def _read_bucket_table(path: str) -> pa.Table:
+    """One bucket directory -> table (empty when no corpus url hashed
+    to this bucket — partitioned writes skip empty partitions)."""
+    import os
+
+    import pyarrow.parquet as pq
+    if not os.path.isdir(path):
+        return pa.table({"url": pa.array([], pa.string()),
+                         "html": pa.array([], pa.binary())})
+    return pq.read_table(path)
 
 
 class _UrlIndex:
@@ -247,18 +295,21 @@ def _index_for(pages_ref) -> _UrlIndex:
     return hit
 
 
-def _load_bucket(ref) -> tuple:
+def _load_bucket(ref) -> _UrlIndex:
     """Per-worker LRU-cached index for ONE bucket of a partitioned
-    corpus.  Unlike :func:`_index_for`, many buckets coexist (a
-    worker's batches span buckets) but never more than
-    ``MAX_CACHED_BUCKETS`` — worker memory is bounded by bucket size x
-    cap, not corpus size."""
-    key = ref.hex()
+    corpus.  ``ref`` is an ObjectRef (object-store backend) or a
+    bucket-directory path (Parquet backend — the lazy per-worker read
+    that makes the bucketed path corpus-size-free end to end).  Unlike
+    :func:`_index_for`, many buckets coexist (a worker's batches span
+    buckets) but never more than ``MAX_CACHED_BUCKETS`` — worker memory
+    is bounded by bucket size x cap, not corpus size."""
+    key = ref if isinstance(ref, str) else ref.hex()
     hit = _BUCKET_CACHE.get(key)
     if hit is not None:
         _BUCKET_CACHE.move_to_end(key)
         return hit
-    hit = _build_index(ray.get(ref))
+    hit = _build_index(_read_bucket_table(ref) if isinstance(ref, str)
+                       else ray.get(ref))
     if _CACHE_MODE[0] != "bucketed":
         _INDEX_CACHE.clear()   # entering bucketed mode: drop the O(corpus) dict
         _CACHE_MODE[0] = "bucketed"

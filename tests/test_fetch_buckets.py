@@ -156,3 +156,39 @@ def test_crawl_parity_bucketed_vs_broadcast(ray_session, bucket_cfg):
     assert [{k: r[k] for k in key} for r in got.fetched_sorted()] == \
            [{k: r[k] for k in key} for r in ref.fetched_sorted()]
     assert got.answers == ref.answers
+
+
+def test_parquet_bucket_backend_matches_broadcast(ray_session, tmp_path):
+    """The Parquet bucket backend (put_pages parquet_dir=...) must be
+    output-identical to the broadcast and object-store-bucket paths at
+    the function level — including misses, latency, and buckets no url
+    hashes to (missing partition directories)."""
+    from larbin_ray.stages import fetch as F
+
+    web = gen_web(120, 8, seed=11)
+    batch = _frontier_batch(web)
+    expect = F.make_fetch_fn(F.put_pages(web, 1))(batch)
+
+    paths = F.put_pages(web, 7, parquet_dir=str(tmp_path / "buckets"))
+    assert len(paths) == 7 and all(isinstance(p, str) for p in paths)
+    F._BUCKET_CACHE.clear()
+    got = F.make_fetch_fn(paths)(batch)
+    assert got.equals(expect)
+
+
+def test_parquet_bucket_backend_whole_crawl(ray_session, tmp_path):
+    """Whole-crawl equality: the Parquet backend produces the identical
+    crawl (order keys, answers, seen set) to the broadcast path."""
+    from tests.test_crawl_e2e import assert_same_crawl
+
+    web = gen_web(80, 6, seed=21)
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                      num_scheduler_shards=3, num_seen_shards=2)
+    base = ray_crawl(web, seeds, cfg)
+    cfg_pq = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                         num_scheduler_shards=3, num_seen_shards=2,
+                         fetch_num_buckets=4,
+                         fetch_parquet_dir=str(tmp_path / "pqbuckets"))
+    got = ray_crawl(web, seeds, cfg_pq)
+    assert_same_crawl(base, got)
