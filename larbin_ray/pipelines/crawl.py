@@ -27,7 +27,10 @@ The fetch+parse stage runs as a Ray Data ``map_batches`` pipeline when
 the tick is large (>= cfg.ray_data_min_tick_rows — the cluster-scale
 regime where the streaming executor's fixed cost amortizes) and as
 plain Ray tasks below that (micro-ticks; same batch function, no
-semantic difference — verified by the oracle-equality tests either way).
+semantic difference — verified by the oracle-equality tests either
+way).  On the task path, each shard's tasks start the moment ITS
+``begin_tick`` lands (``_early_wave``) — the global dispatch barrier
+exists only on the Ray Data path and on tick 0 / resume.
 
 State lives only in the named actor tiers; every ordering decision is
 derived from data keys, so the crawl output is bit-identical at any CPU
