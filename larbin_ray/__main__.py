@@ -101,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     }), flush=True)
     if args.serve is not None:
         from larbin_ray.pipelines.stats import serve_stats
-        serve_stats(args.checkpoint, args.serve)
+        serve_stats(args.checkpoint, args.serve, out_dir=args.out)
     return 0
 
 

@@ -67,23 +67,131 @@ def crawl_stats_report(path: str, window: int = 8) -> str:
     return "\n".join(lines)
 
 
-def serve_stats(path: str, port: int = 0, once: bool = False) -> None:
-    """Serve the report over HTTP — the reference webserver's live
-    endpoint (utils/webserver.cxx:840-870: accept, render current
-    counters, close).  Each GET re-renders from the metrics lineage,
-    so a crawl writing checkpoints alongside shows live totals.
-    ``port=0`` binds an ephemeral port; the bound port is announced as
-    a JSON line on stdout (``{"serving": <port>}``).  ``once`` handles
-    a single request then returns (test harness)."""
-    import http.server
+def _html(title: str, body: str) -> bytes:
+    return (f"<!doctype html><html><head><title>{title}</title>"
+            "<style>body{font-family:monospace}table{border-collapse:"
+            "collapse}td,th{border:1px solid #999;padding:2px 8px;"
+            "text-align:right}th{background:#eee}</style></head><body>"
+            f"<h2>{title}</h2>{body}"
+            '<p><a href="/index.html">index</a></p></body></html>'
+            ).encode()
 
-    report_path = path
+
+def _table(headers: list[str], rows: list[list]) -> str:
+    h = "".join(f"<th>{c}</th>" for c in headers)
+    b = "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>"
+                for r in rows)
+    return f"<table><tr>{h}</tr>{b}</table>"
+
+
+def urls_html(out_dir: str | None, limit: int = 50) -> bytes:
+    """The reference's /urls.html (webserver.cxx:840-870 views): the
+    most recently fetched urls.  Reads sink tick directories NEWEST
+    first and stops at ``limit`` rows — never the whole sink."""
+    import glob
+
+    import pyarrow.parquet as pq
+    if not out_dir:
+        return _html("urls", "<p>no sink directory (--out) configured</p>")
+    tick_dirs = sorted(glob.glob(f"{out_dir}/pages/tick=*"),
+                       key=lambda p: int(p.rsplit("=", 1)[1]), reverse=True)
+    rows: list[list] = []
+    for d in tick_dirs:
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            t = pq.read_table(f, columns=["url", "status", "tick", "depth"])
+            rows.extend([r["tick"], r["depth"], r["status"], r["url"]]
+                        for r in t.to_pylist())
+        if len(rows) >= limit:
+            break
+    rows = rows[:limit]
+    return _html(f"last {len(rows)} fetched urls",
+                 _table(["tick", "depth", "status", "url"], rows))
+
+
+def dns_html(ckpt_path: str) -> bytes:
+    """The reference's /dns.html: DNS resolution state counts over the
+    checkpointed host tables (per scheduler shard)."""
+    import glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    counts: Counter = Counter()
+    n_hosts = 0
+    for f in sorted(glob.glob(f"{ckpt_path}/hosts/shard=*.parquet")):
+        t = pq.read_table(f, columns=["dns_state"])
+        n_hosts += t.num_rows
+        for v in t["dns_state"].to_pylist():
+            counts[v] += 1
+    body = (f"<p>{n_hosts} hosts in the checkpointed scheduler tier</p>"
+            + _table(["dns state", "hosts"],
+                     [[k, v] for k, v in counts.most_common()]))
+    return _html("dns", body)
+
+
+def histograms_html(ckpt_path: str, window: int = 8) -> bytes:
+    """The reference's /histograms.html: the answers histogram plus the
+    per-window page rates, as HTML tables over the metrics lineage."""
+    import pyarrow.parquet as pq
+    parts = []
+    manifest = f"{ckpt_path}/manifest.json"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            answers = json.load(f).get("answers", {})
+        parts.append("<h3>answers histogram</h3>" + _table(
+            ["status", "count"],
+            [[k, answers[k]] for k in sorted(answers, key=lambda k: -answers[k])]))
+    mpath = f"{ckpt_path}/metrics.parquet"
+    if os.path.exists(mpath):
+        rows = pq.read_table(mpath).to_pylist()
+        win_rows = []
+        for i in range(0, len(rows), window):
+            win = rows[i:i + window]
+            pages = sum(r["pages"] for r in win)
+            win_rows.append([f"{win[0]['tick']}-{win[-1]['tick']}", pages,
+                             pages // max(1, len(win)),
+                             win[-1]["cum_success"]])
+        parts.append("<h3>per-window page rates</h3>" + _table(
+            ["ticks", "pages", "pages/tick", "cum success"], win_rows))
+    return _html("histograms", "".join(parts) or "<p>no metrics yet</p>")
+
+
+def make_stats_server(path: str, port: int = 0, out_dir: str | None = None):
+    """The reference webserver's endpoint surface (utils/webserver.cxx
+    :840-870): ``/`` serves the text report (back-compat contract of
+    --serve), ``/urls.html`` ``/dns.html`` ``/histograms.html`` the
+    HTML views, ``/index.html`` the link page.  Every GET re-renders
+    from the on-disk lineage, so a crawl writing checkpoints alongside
+    shows live state.  Returns the bound HTTPServer (caller serves)."""
+    import http.server
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
-            body = crawl_stats_report(report_path).encode()
+            try:
+                if self.path in ("/", "/all.html"):
+                    body = crawl_stats_report(path).encode()
+                    ctype = "text/plain; charset=utf-8"
+                elif self.path == "/index.html":
+                    body = _html("larbin_ray crawl", (
+                        '<ul><li><a href="/">text report</a></li>'
+                        '<li><a href="/urls.html">recently fetched urls</a></li>'
+                        '<li><a href="/dns.html">dns states</a></li>'
+                        '<li><a href="/histograms.html">histograms</a></li></ul>'))
+                    ctype = "text/html; charset=utf-8"
+                elif self.path == "/urls.html":
+                    body, ctype = urls_html(out_dir), "text/html; charset=utf-8"
+                elif self.path == "/dns.html":
+                    body, ctype = dns_html(path), "text/html; charset=utf-8"
+                elif self.path == "/histograms.html":
+                    body, ctype = (histograms_html(path),
+                                   "text/html; charset=utf-8")
+                else:
+                    self.send_error(404)
+                    return
+            except Exception as e:           # render errors as 500, keep serving
+                self.send_error(500, str(e))
+                return
             self.send_response(200)
-            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -91,7 +199,16 @@ def serve_stats(path: str, port: int = 0, once: bool = False) -> None:
         def log_message(self, *a):
             pass
 
-    srv = http.server.HTTPServer(("127.0.0.1", port), Handler)
+    return http.server.HTTPServer(("127.0.0.1", port), Handler)
+
+
+def serve_stats(path: str, port: int = 0, once: bool = False,
+                out_dir: str | None = None) -> None:
+    """Serve the report + HTML views over HTTP (see make_stats_server).
+    ``port=0`` binds an ephemeral port; the bound port is announced as
+    a JSON line on stdout (``{"serving": <port>}``).  ``once`` handles
+    a single request then returns (test harness)."""
+    srv = make_stats_server(path, port, out_dir)
     print(json.dumps({"serving": srv.server_address[1]}), flush=True)
     try:
         if once:

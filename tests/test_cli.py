@@ -98,3 +98,51 @@ def test_cli_serve_stats(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_stats_server_html_views(ray_session, tmp_path):
+    """The webserver's HTML views (reference /urls.html /dns.html
+    /histograms.html, webserver.cxx:840-870) render from the checkpoint
+    + sink lineage; '/' keeps the text-report contract."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from larbin_ray.config import CrawlConfig
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from larbin_ray.pipelines.stats import crawl_stats_report, make_stats_server
+    from larbin_ray.sources.synthweb import default_seeds, gen_web
+
+    web = gen_web(60, 6, seed=42)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2, checkpoint_every=4)
+    ray_crawl(web, default_seeds(6), cfg, out_dir=out, checkpoint_dir=ck,
+              build_rows=False)
+
+    srv = make_stats_server(ck, 0, out_dir=out)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def get(p):
+            return urllib.request.urlopen(base + p, timeout=10).read().decode()
+
+        assert get("/") == crawl_stats_report(ck)
+        idx = get("/index.html")
+        for link in ("/urls.html", "/dns.html", "/histograms.html"):
+            assert link in idx
+        urls = get("/urls.html")
+        assert "fetched urls" in urls and "http://" in urls
+        dns = get("/dns.html")
+        assert "dns state" in dns and "done" in dns
+        hist = get("/histograms.html")
+        assert "answers histogram" in hist and "success" in hist
+        try:
+            urllib.request.urlopen(base + "/nope", timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
