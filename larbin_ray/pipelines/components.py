@@ -10,14 +10,22 @@ union-find over the materialized pairs (textops.cluster_pairs); above
 it — or when ``force_path="distributed"`` — this module labels
 components WITHOUT any driver-side O(pairs) structure.
 
-Algorithm: iterative min-label propagation (the standard
-label-propagation CC on a data-parallel engine — O(component diameter)
-rounds, each round two bucketed shuffles):
+Algorithm: iterative min-label propagation with label-link
+shortcutting (hash-to-min style), two bucketed shuffles per round:
 
     label[x] := x
-    repeat:  label[x] := min(label[x], min_{(x,y) in E} label[y])
+    repeat:  label[x] := min(label[x],
+                             min_{(x,y) in E ∪ L} label[y])
     until the global label sum stops changing (labels only decrease,
     so an unchanged sum == a fixed point)
+
+where L is the CURRENT label table read as edges (x <-> label[x]).
+The label links double the propagation horizon every round (pointer
+jumping), so convergence is O(log diameter) rounds, not O(diameter) —
+a 10^6-doc boilerplate chain converges in ~20 rounds where plain
+neighbor propagation would need 10^6.  Label values are always node
+ids of the same component (they enter via edge endpoints), so the
+links never cross components.
 
 Every step is a ``map_batches`` + bucketed ``groupby(bucket)``
 ``map_groups`` with a vectorized pandas merge inside — one Python call
@@ -122,10 +130,24 @@ def connected_components(edges: rd.Dataset, col_a: str, col_b: str,
                             "kind": np.int8(1)})
         return out
 
+    def label_links(df: pd.DataFrame) -> pd.DataFrame:
+        """The current labels as symmetric edges (pointer jumping)."""
+        node = df["node"].to_numpy(dtype=np.int64)
+        lab = df["label"].to_numpy(dtype=np.int64)
+        nz = node != lab
+        node, lab = node[nz], lab[nz]
+        out = pd.DataFrame({"src": np.concatenate([node, lab]),
+                            "dst": np.concatenate([lab, node])})
+        out["_bucket"] = _bucket_of(out["src"], n_buckets)
+        out["label"] = np.int64(0)
+        out["kind"] = np.int8(0)
+        return out
+
     e_tagged = edges2.map_batches(tag_edges, batch_format="pandas") \
                      .materialize()
     for _ in range(_MAX_ROUNDS):
         cand = (e_tagged
+                .union(labels.map_batches(label_links, batch_format="pandas"))
                 .union(labels.map_batches(tag_labels, batch_format="pandas"))
                 .groupby("_bucket")
                 .map_groups(relabel_bucket, batch_format="pandas"))
@@ -153,6 +175,11 @@ def cluster_df(pairs: rd.Dataset, col_a: str, col_b: str,
     "driver" or "distributed" (parity tests)."""
     pairs = pairs.materialize()
     n_pairs = pairs.count()
+    if n_pairs == 0:
+        # a column-less empty to_pandas() would KeyError below; zero
+        # pairs means zero clustered nodes on either path
+        return pd.DataFrame({"node": pd.array([], dtype="int64"),
+                             "label": pd.array([], dtype="int64")})
     use_driver = (force_path == "driver"
                   or (force_path is None
                       and n_pairs <= CLUSTER_TASK_MAX_PAIRS))

@@ -575,12 +575,18 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     # take the global path)
     predict_rows = None
 
+    fed_ticks: set = set()
+
     def _drain_server() -> bool:
         """Feed (test harness) + drain the TCP daemon; True if any
-        submission was admitted."""
+        submission was admitted.  ``fed_ticks`` guards the feed: the
+        idle-frontier final poll calls this a second time for the same
+        tick and must only DRAIN, not re-send (a re-sent test=1 payload
+        would double-count its rejections in the answers histogram)."""
         nonlocal feed_sent
-        if submit_feed and tick in submit_feed:
+        if submit_feed and tick in submit_feed and tick not in fed_ticks:
             import socket as _socket
+            fed_ticks.add(tick)
             payload = submit_feed[tick].encode("latin-1")
             with _socket.create_connection((server.host, server.port)) as c:
                 c.sendall(payload)
@@ -636,11 +642,11 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         ship_text = keep_text
         sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
         # per-shard early waves whenever the predicted tick size stays
-        # under the Ray Data threshold (prediction = 2x last tick's
-        # max(rows, queued) — conservative against frontier growth; a
-        # miss costs only path choice, never output: both paths are
-        # parity-tested).  Tick 0 / resume tick has no prediction and
-        # takes the global path.
+        # under the Ray Data threshold (prediction = 4x last tick's
+        # rows — tick volume tracks active IPs under politeness, not
+        # queue depth, and a miss costs only path choice, never output:
+        # both paths are parity-tested).  Tick 0 / resume tick has no
+        # prediction and takes the global path.
         early = None
         if (predict_rows is not None
                 and predict_rows < cfg.ray_data_min_tick_rows):

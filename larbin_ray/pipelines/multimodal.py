@@ -310,6 +310,34 @@ def media_pipeline(media: pa.Table, out_dir: str | None = None,
 MEDIA_DECODED_N = 360
 
 
+class _DecodedStatsLong:
+    """Actor-pool stage behind media_features_decoded: decode the
+    real-codec rows of a mixed batch (png images, pcm_s16le audio) and
+    emit the long (media_id, metric, value) rows both kinds share."""
+
+    def __init__(self):
+        self.backend = default_backend()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mids, metrics, values = [], [], []
+        for mid, kind, payload, w, h, sr, dur in zip(
+                t["media_id"].to_pylist(), t["kind"].to_pylist(),
+                t["payload"].to_pylist(), t["width"].to_pylist(),
+                t["height"].to_pylist(), t["sample_rate"].to_pylist(),
+                t["duration_ms"].to_pylist()):
+            if kind == "image":
+                stats = _image_stats(self.backend.decode_image(payload, w, h))
+            else:
+                stats = _audio_stats(self.backend.decode_audio(payload, sr, dur))
+            for k in sorted(stats):
+                mids.append(mid)
+                metrics.append(k)
+                values.append(float(stats[k]))
+        return pa.table({"media_id": pa.array(mids, pa.int64()),
+                         "metric": pa.array(metrics, pa.string()),
+                         "value": pa.array(values, pa.float64())})
+
+
 def media_features_decoded(sf_dir: str) -> pd.DataFrame:
     """queries() entry, VALUE-EXACT: the decoded stats of the real-codec
     rows (png / pcm_s16le) in long form (media_id, metric, value).  The
@@ -325,20 +353,17 @@ def media_features_decoded(sf_dir: str) -> pd.DataFrame:
     from larbin_ray.pipelines.extract import from_table
 
     media = gen_media(MEDIA_DECODED_N, seed=42)
-    c = pool_size()
-    img = from_table(media.filter(pc.equal(media["codec"], "png")), 4) \
-        .map_batches(ImageFeatures, batch_format="pyarrow", batch_size=64,
-                     concurrency=c)
-    aud = from_table(media.filter(pc.equal(media["codec"], "pcm_s16le")), 4) \
-        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=64,
-                     concurrency=c)
-    img_df, aud_df = img.to_pandas(), aud.to_pandas()
-    img_long = img_df.melt(id_vars="media_id", var_name="metric",
-                           value_name="value")
-    aud_long = aud_df.melt(id_vars="media_id", var_name="metric",
-                           value_name="value")
-    out = pd.concat([img_long, aud_long], ignore_index=True) \
-        .astype({"media_id": "int64", "metric": "string", "value": "float64"})
+    real = media.filter(pc.is_in(media["codec"],
+                                 value_set=pa.array(["png", "pcm_s16le"])))
+    # ONE actor-pool stage handling both kinds per batch (running the
+    # image and audio pools sequentially paid two spin-ups back to back
+    # — the kinds are independent, the long output schema is shared)
+    out = (from_table(real, 8)
+           .map_batches(_DecodedStatsLong, batch_format="pyarrow",
+                        batch_size=64, concurrency=pool_size())
+           .to_pandas()
+           .astype({"media_id": "int64", "metric": "string",
+                    "value": "float64"}))
     return out.sort_values(["media_id", "metric"]).reset_index(drop=True)
 
 

@@ -78,9 +78,13 @@ def _html(title: str, body: str) -> bytes:
 
 
 def _table(headers: list[str], rows: list[list]) -> str:
-    h = "".join(f"<th>{c}</th>" for c in headers)
-    b = "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>"
-                for r in rows)
+    # cell values include crawl-controlled strings (urls, statuses) —
+    # escape everything so corpus data can never inject markup
+    import html as _h
+    h = "".join(f"<th>{_h.escape(str(c))}</th>" for c in headers)
+    b = "".join(
+        "<tr>" + "".join(f"<td>{_h.escape(str(c))}</td>" for c in r) + "</tr>"
+        for r in rows)
     return f"<table><tr>{h}</tr>{b}</table>"
 
 

@@ -758,7 +758,7 @@ def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.5,
     count (pipelines.components.cluster_df): a driver union-find below
     CLUSTER_TASK_MAX_PAIRS (strictly faster while pairs fit one
     machine), iterative min-label propagation over the edge Dataset
-    above it — O(component diameter) bucketed-shuffle rounds, no
+    above it — O(log component diameter) bucketed-shuffle rounds, no
     driver-side O(pairs) structure.  ``force_path`` pins "driver" /
     "distributed" (parity tests); both produce identical labels."""
     from larbin_ray.pipelines.components import cluster_df

@@ -38,12 +38,12 @@ from larbin_ray.kernels.strhash import hash_str_array
 
 SYNTH_404 = b"HTTP/1.0 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
 
-_INDEX_CACHE: dict[str, tuple] = {}
+_INDEX_CACHE: dict[str, "_UrlIndex"] = {}
 
 # bucketed path: per-worker LRU of _UrlIndex objects keyed by bucket
 # ref — bounds worker memory to MAX_CACHED_BUCKETS buckets regardless
 # of corpus size
-_BUCKET_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_BUCKET_CACHE: "OrderedDict[str, _UrlIndex]" = OrderedDict()
 MAX_CACHED_BUCKETS = 64
 
 # driver-side: one live broadcast per pages table object.  Re-crawling
@@ -172,21 +172,31 @@ def put_pages(pages: pa.Table, num_buckets: int = 1,
     return refs
 
 
+# per-process generation counter for Parquet bucket writes: the worker
+# bucket cache is keyed by PATH, so rewriting the same parquet_dir with
+# a new corpus must produce NEW paths or warm workers would serve the
+# old corpus' indexes.  job id + counter makes paths unique across both
+# repeated writes in one driver and different driver processes.
+_PQ_GEN = [0]
+
+
 def _write_bucketed_parquet(tbl: pa.Table, num_buckets: int,
                             parquet_dir: str) -> list[str]:
     """Distributed bucket write: Ray Data adds the bucket column batch-
     wise and writes hive-partitioned Parquet — no driver-side sort/take.
-    Returns one directory path per bucket id (a bucket no url hashes to
-    simply has no directory; _load_bucket treats it as empty)."""
+    Returns one directory path per bucket id under a generation-unique
+    subdirectory (a bucket no url hashes to simply has no directory;
+    _load_bucket treats it as empty)."""
     import os
     import shutil
-
-    import ray.data as rd
 
     from larbin_ray.pipelines.extract import from_table
 
     if os.path.isdir(parquet_dir):
         shutil.rmtree(parquet_dir)
+    _PQ_GEN[0] += 1
+    gen_dir = (f"{parquet_dir}/gen-"
+               f"{ray.get_runtime_context().get_job_id()}-{_PQ_GEN[0]}")
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -195,8 +205,8 @@ def _write_bucketed_parquet(tbl: pa.Table, num_buckets: int,
     n_blocks = max(2, min(32, tbl.num_rows // 4096))
     (from_table(tbl, n_blocks)
      .map_batches(add_bucket, batch_format="pyarrow")
-     .write_parquet(parquet_dir, partition_cols=["bucket"]))
-    return [f"{parquet_dir}/bucket={k}" for k in range(num_buckets)]
+     .write_parquet(gen_dir, partition_cols=["bucket"]))
+    return [f"{gen_dir}/bucket={k}" for k in range(num_buckets)]
 
 
 def _read_bucket_table(path: str) -> pa.Table:

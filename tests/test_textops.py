@@ -374,3 +374,32 @@ def test_embedding_dup_clusters_paths_agree(ray_session):
         drv.sort_values("vec_id").reset_index(drop=True),
         dst.sort_values("vec_id").reset_index(drop=True))
     assert not drv.empty
+
+
+def test_connected_components_chain_shortcutting(ray_session, monkeypatch):
+    """Label-link shortcutting makes rounds O(log diameter): a 40-node
+    chain (diameter 39) must converge within 12 rounds — plain neighbor
+    propagation would need 39 and hit the patched cap."""
+    import ray.data as rd
+
+    from larbin_ray.pipelines import components as C
+
+    monkeypatch.setattr(C, "_MAX_ROUNDS", 12)
+    n = 40
+    df = pd.DataFrame({"a": np.arange(n - 1) * 7 + 3,
+                       "b": np.arange(1, n) * 7 + 3})
+    got = C.connected_components(rd.from_pandas(df), "a", "b", n_buckets=3)
+    assert len(got) == n
+    assert (got["label"] == 3).all()
+
+
+def test_dedup_clusters_empty_pair_list(ray_session):
+    """Zero qualifying pairs must yield an empty typed frame, not a
+    KeyError off a column-less empty to_pandas() (round-5 review fix)."""
+    from larbin_ray.pipelines.similarity import embedding_dup_clusters
+    from larbin_ray.pipelines.textops import dedup_clusters
+
+    got = dedup_clusters(SF, threshold=1.5)
+    assert got.empty and list(got.columns) == ["doc_id", "cluster_id"]
+    got_e = embedding_dup_clusters(SF, threshold=1.5)
+    assert got_e.empty and list(got_e.columns) == ["vec_id", "cluster_id"]
