@@ -78,6 +78,7 @@ class SchedulerShardCore:
         self.shard_id = shard_id
         self.core = SchedulerCore(cfg)
         self._buffer: list[tuple] = []   # (akey, host, port, file, depth)
+        self._surv_entries: list[tuple] = []   # last pre_admit survivors
         self._batch_tokens: set[str] = set()   # submit_links_once dedup
         self._ip_enc_cache: dict[str, tuple[int, int]] = {}  # ip -> int64 pair
         # cumulative seconds per admission-chain phase (diagnostics;
@@ -177,7 +178,20 @@ class SchedulerShardCore:
         fast-fail (fewer RPC round-trips per tick; robots MUST apply
         before the fast-checks, matching the oracle's end-of-tick
         order).  Entry refs were already delivered mid-wave by
-        prefeed_links."""
+        prefeed_links.
+
+        This is the vectorized twin of ``SchedulerCore.pre_admit`` (the
+        serial executable spec the oracle runs): the sort is a numpy
+        lexsort over dense-ranked parent-ip keys, the initOK fast-fails
+        run over the raw entry tuples with a per-tick (host, port)
+        state memo (state is frozen for the duration of the barrier —
+        robots results applied above, nothing else mutates host state
+        mid-call), and ``UrlRec`` objects are built in
+        ``enqueue_verdicts`` for ADMITTED entries only (~1/6 of
+        candidates; links repeat across a site, so most die at the seen
+        test).  Equality with the spec is enforced by
+        ``tests/test_scheduler_parity.py`` fuzz parity plus the whole-crawl
+        bit-exactness suite."""
         import time
 
         import numpy as np
@@ -185,7 +199,6 @@ class SchedulerShardCore:
         t0 = time.perf_counter()
         if robots_items:
             self.robots_results(list(robots_items))
-        from operator import itemgetter
         if dup_parents:
             dup = set(dup_parents)
             buf = [e for e in self._buffer if (e[9], e[10]) not in dup]
@@ -193,54 +206,122 @@ class SchedulerShardCore:
             buf = self._buffer
         self._buffer = []
         self._batch_tokens.clear()
-        buf.sort(key=itemgetter(0, 1, 2, 3))
+        n = len(buf)
+        if n == 0:
+            self._surv_entries = []
+            empty = np.empty(0, dtype=np.int64)
+            return {k: empty for k in ("prio", "ip_hi", "ip_lo",
+                                       "sub", "order", "hash")}
+        # columnar views of the entry tuples (one C pass each); entries
+        # are the 12-tuple wire format, so indices 0..10 always exist
+        cols = list(zip(*buf))
+        prio = np.fromiter(cols[0], np.int64, n)
+        sub = np.fromiter(cols[2], np.int64, n)
+        order = np.fromiter(cols[3], np.int64, n)
+        psub = np.fromiter(cols[10], np.int64, n)
+        hashes = np.fromiter(cols[8], np.int64, n)
+        # parent-ip sort key: dense rank over the tick's DISTINCT parent
+        # ips (a handful per tick) — rank order == string order, which
+        # the 16-byte big-endian int-pair encoding below also preserves
+        # (dotted quads are <= 15 ASCII bytes), so the local lexsort,
+        # the seen shards' global lexsort, and the old per-tuple string
+        # sort all agree.
+        enc = self._ip_enc_cache
+        uniq = sorted(set(cols[1]))
+        for ip in uniq:
+            if ip not in enc:
+                b = ip.encode("latin-1")[:16].ljust(16, b"\0")
+                enc[ip] = (int.from_bytes(b[:8], "big"),
+                           int.from_bytes(b[8:], "big"))
+        rank_of = {ip: r for r, ip in enumerate(uniq)}
+        ipr = np.fromiter((rank_of[ip] for ip in cols[1]), np.int64, n)
+        hi_uniq = np.asarray([enc[ip][0] for ip in uniq], dtype=np.int64)
+        lo_uniq = np.asarray([enc[ip][1] for ip in uniq], dtype=np.int64)
+        g = np.lexsort((order, sub, ipr, prio))
         self._clk("pre_sort", t0)
         t0 = time.perf_counter()
-        recs = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
-                       cookie=e[11] if len(e) > 11 else None, hc=e[8])
-                for e in buf]
+        # initOK fast-fails (url.cxx:371-389) in global admission order.
+        # Per-tick memo: (host, port) -> None (admit) | reason str |
+        # robots list (state "done" with patterns: per-file test below).
         # parent_sub == -1 marks check()-path submissions (seeds and
-        # input-port injections): they bypass the initOK fast-fails,
-        # matching the oracle's admit(skip_fast=True)
-        skip = [e[10] == -1 for e in buf]
-        self._clk("pre_recs", t0)
-        t0 = time.perf_counter()
-        self._survivors = self.core.pre_admit(recs, skip)
+        # input-port injections): they bypass the fast-fails, matching
+        # the oracle's admit(skip_fast=True).
+        core = self.core
+        hosts_get = core.hosts.get
+        site_key = core.site_key
+        ignore_robots = core.cfg.ignore_robots
+        answers = core.answers
+        failures = core.failures
+        from larbin_ray.kernels.robots import test_robots
+        memo: dict[tuple, object] = {}
+        fmemo: dict[tuple, bool] = {}
+        keep = np.ones(n, dtype=bool)
+        g_list = g.tolist()
+        for j, i in enumerate(g_list):
+            if psub[i] == -1:
+                continue
+            e = buf[i]
+            key = (e[4], e[5])
+            try:
+                v = memo[key]
+            except KeyError:
+                h = hosts_get((site_key(e[4]), e[5]))
+                if h is None:
+                    v = None
+                else:
+                    ds = h.dns_state
+                    if ds == "error":
+                        v = "fastNoDns"
+                    elif ds == "noconn":
+                        v = "fastNoConn"
+                    elif ds == "done" and h.robots and not ignore_robots:
+                        v = h.robots
+                    else:       # wait, or done with no binding patterns
+                        v = None
+                memo[key] = v
+            if v is None:
+                continue
+            if type(v) is str:
+                reason = v
+            else:               # per-file robots test, memoized
+                fkey = (e[4], e[5], e[6])
+                r = fmemo.get(fkey)
+                if r is None:
+                    r = test_robots(e[6], v)
+                    fmemo[fkey] = r
+                if r:
+                    continue
+                reason = "fastRobots"
+            keep[j] = False
+            answers[reason] += 1
+            failures.append((UrlRec(e[4], e[5], e[6], e[7]).url_str(),
+                             reason, (e[0], e[1], e[2], e[3])))
+        sp = g[keep]            # survivor indices, global admission order
+        sp_list = sp.tolist()
+        self._surv_entries = [buf[i] for i in sp_list]
         self._clk("pre_admit", t0)
-        # numpy for the numeric key columns (fast pickling + fast driver
-        # merge).  The parent ip participates in the global admission
-        # sort; encoding it as a 16-byte big-endian int pair PRESERVES
-        # the string order (dotted quads are <= 15 ASCII bytes), so the
-        # driver lexsort runs on pure int64 columns and the per-survivor
-        # encoding cost lands here — parallel across shards — instead
-        # of serially on the driver.  The encode is memoized per distinct
-        # ip (a tick's survivors share a handful of parent IPs).
-        enc = self._ip_enc_cache
-        hi_l, lo_l = [], []
-        for r in self._survivors:
-            ip = r.akey[1]
-            pair = enc.get(ip)
-            if pair is None:
-                b = ip.encode("latin-1")[:16].ljust(16, b"\0")
-                pair = (int.from_bytes(b[:8], "big"), int.from_bytes(b[8:], "big"))
-                enc[ip] = pair
-            hi_l.append(pair[0])
-            lo_l.append(pair[1])
+        # numpy key columns for the seen-shard merge (fast pickling +
+        # C-speed lexsort there); per-survivor cost is pure fancy
+        # indexing — the ip encode already ran once per DISTINCT ip.
+        ipr_s = ipr[sp]
         return {
-            "prio": np.asarray([r.akey[0] for r in self._survivors], dtype=np.int64),
-            "ip_hi": np.asarray(hi_l, dtype=np.int64),
-            "ip_lo": np.asarray(lo_l, dtype=np.int64),
-            "sub": np.asarray([r.akey[2] for r in self._survivors], dtype=np.int64),
-            "order": np.asarray([r.akey[3] for r in self._survivors], dtype=np.int64),
-            "hash": np.asarray([r.hc for r in self._survivors], dtype=np.int64),
+            "prio": prio[sp],
+            "ip_hi": hi_uniq[ipr_s],
+            "ip_lo": lo_uniq[ipr_s],
+            "sub": sub[sp],
+            "order": order[sp],
+            "hash": hashes[sp],
         }
 
-    def enqueue_verdicts(self, verdicts: list[bool]) -> int:
+    def enqueue_verdicts(self, verdicts) -> int:
         """verdicts aligned with the last pre_admit_links survivors (local
-        sorted order); enqueue the new ones."""
-        new = [r for r, v in zip(self._survivors, verdicts) if v]
+        sorted order); enqueue the new ones.  UrlRec objects are built
+        HERE, for admitted entries only."""
+        new = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
+                      cookie=e[11] if len(e) > 11 else None, hc=e[8])
+               for e, v in zip(self._surv_entries, verdicts) if v]
         self.core.enqueue(new)
-        self._survivors = []
+        self._surv_entries = []
         return len(new)
 
     # ---- decentralized admission (sched -> seen -> sched, no driver
@@ -284,7 +365,7 @@ class SchedulerShardCore:
         import ray as _ray
 
         t0 = time.perf_counter()
-        v = np.zeros(len(self._survivors), dtype=bool)
+        v = np.zeros(len(self._surv_entries), dtype=bool)
         for idx, verd in _ray.get(list(parts_refs)):
             if len(idx):
                 v[idx] = verd
