@@ -77,7 +77,11 @@ class SchedulerShardCore:
     def __init__(self, shard_id: int, cfg: CrawlConfig):
         self.shard_id = shard_id
         self.core = SchedulerCore(cfg)
-        self._buffer: list[tuple] = []   # (akey, host, port, file, depth)
+        # buffered admission entries — the 12-tuple wire format
+        # (prio, ip, sub, order, host, port, file, depth, hash,
+        #  parent_ip, parent_sub, cookie); pre_admit_links hard-depends
+        # on indices 0..11 (see submit_links docstring)
+        self._buffer: list[tuple] = []
         self._surv_entries: list[tuple] = []   # last pre_admit survivors
         self._batch_tokens: set[str] = set()   # submit_links_once dedup
         self._ip_enc_cache: dict[str, tuple[int, int]] = {}  # ip -> int64 pair
@@ -247,9 +251,7 @@ class SchedulerShardCore:
         # input-port injections): they bypass the fast-fails, matching
         # the oracle's admit(skip_fast=True).
         core = self.core
-        hosts_get = core.hosts.get
-        site_key = core.site_key
-        ignore_robots = core.cfg.ignore_robots
+        fast_state = core.fast_state
         answers = core.answers
         failures = core.failures
         from larbin_ray.kernels.robots import test_robots
@@ -265,19 +267,7 @@ class SchedulerShardCore:
             try:
                 v = memo[key]
             except KeyError:
-                h = hosts_get((site_key(e[4]), e[5]))
-                if h is None:
-                    v = None
-                else:
-                    ds = h.dns_state
-                    if ds == "error":
-                        v = "fastNoDns"
-                    elif ds == "noconn":
-                        v = "fastNoConn"
-                    elif ds == "done" and h.robots and not ignore_robots:
-                        v = h.robots
-                    else:       # wait, or done with no binding patterns
-                        v = None
+                v = fast_state(e[4], e[5])
                 memo[key] = v
             if v is None:
                 continue

@@ -128,17 +128,32 @@ class SchedulerCore:
 
     # ---- admission phase 1: initOK fast-fails (url.cxx:371-389) ----
 
-    def fast_check(self, rec: UrlRec) -> str | None:
-        h = self.hosts.get((self.site_key(rec.host), rec.port))
+    def fast_state(self, host: bytes, port: int):
+        """The file-independent half of the initOK fast-fails: None
+        (admit — unknown host, DNS in flight, or robots can't bind),
+        a failure reason string (dead DNS), or the host's robots
+        pattern list (state "done" with binding patterns: the caller
+        runs the per-file test).  Single source of the state machine —
+        ``fast_check`` below (the serial spec) and the shard barrier's
+        memoized loop (stages/scheduler.py pre_admit_links) both
+        dispatch through it."""
+        h = self.hosts.get((self.site_key(host), port))
         if h is None:
             return None
-        if h.dns_state == "error":
+        ds = h.dns_state
+        if ds == "error":
             return "fastNoDns"
-        if h.dns_state == "noconn":
+        if ds == "noconn":
             return "fastNoConn"
-        if h.dns_state == "done" and not test_robots(rec.file, h.robots, self.cfg.ignore_robots):
-            return "fastRobots"
+        if ds == "done" and h.robots and not self.cfg.ignore_robots:
+            return h.robots
         return None
+
+    def fast_check(self, rec: UrlRec) -> str | None:
+        v = self.fast_state(rec.host, rec.port)
+        if v is None or type(v) is str:
+            return v
+        return None if test_robots(rec.file, v) else "fastRobots"
 
     def pre_admit(self, recs: list[UrlRec],
                   skip: list[bool] | None = None) -> list[UrlRec]:

@@ -104,8 +104,21 @@ def test_pre_admit_links_matches_spec_fuzz():
                 (r.host, r.port, r.file, r.depth, r.hc)
         np.testing.assert_array_equal(
             keys["hash"], np.asarray([r.hc for r in spec_surv], np.int64))
+        for col, ak in (("prio", 0), ("sub", 2), ("order", 3)):
+            np.testing.assert_array_equal(
+                keys[col],
+                np.asarray([r.akey[ak] for r in spec_surv], np.int64))
+        # the ip-encode columns must match the reference big-endian
+        # int-pair encoding (the dense-rank scatter is an optimization)
+        def _enc(ip: str) -> tuple[int, int]:
+            b = ip.encode("latin-1")[:16].ljust(16, b"\0")
+            return int.from_bytes(b[:8], "big"), int.from_bytes(b[8:], "big")
         np.testing.assert_array_equal(
-            keys["order"], np.asarray([r.akey[3] for r in spec_surv], np.int64))
+            keys["ip_hi"],
+            np.asarray([_enc(r.akey[1])[0] for r in spec_surv], np.int64))
+        np.testing.assert_array_equal(
+            keys["ip_lo"],
+            np.asarray([_enc(r.akey[1])[1] for r in spec_surv], np.int64))
 
         # fast-fail bookkeeping: identical histogram AND failure rows
         assert shard.core.answers == spec_core.answers
