@@ -63,6 +63,29 @@ _RX_TAG_OPEN = re.compile(rb"<(?:!|[ \n\r\t]*[aAbBlLfFiI])")
 # per-char compare; a miss falls through to the loop untouched.
 _RX_PARAM_HREF = re.compile(rb"[ \n\r\t]*[hH][rR][eE][fF]")
 _RX_PARAM_SRC = re.compile(rb"[ \n\r\t]*[sS][rR][cC]")
+# Whole-construct fused path: the dominant page byte shape is an
+# 'a'/'link' tag whose FIRST word is href, '='-assigned, with a
+# backslash-free value — one anchored C match replaces the dispatch +
+# param + value scans.  Group 1 starts at the first non-space after
+# href (the spec's post-skipSpace position p0: its first byte is the
+# char the spec consumes blindly — fused only fires when that char is
+# '=' — then the ' '/'=' skip and at most one opening quote); group 2
+# is the value, capped at 1023 so a cap-length value falls back to the
+# generic 1024-window rule.  The caller still applies the posParse[i]
+# lookahead quirk at p0 and the CGI/EOF stop-char rules — every
+# construct the pattern cannot prove simple falls through to the
+# generic path untouched, so fused output == spec output by
+# construction (property-fuzzed in tests/test_properties.py).
+_RX_FUSED_HREF_NOCGI = re.compile(
+    rb"<[ \n\r\t]*(?:[aA]|[lL][iI][nN][kK])[ \n\r\t]*"
+    rb"[hH][rR][eE][fF][ \n\r\t]*"
+    rb"(=[ =]*[\"']?)"
+    rb"([^\"' \n>\r\t?=*\\]{0,1023})")
+_RX_FUSED_HREF_CGI = re.compile(
+    rb"<[ \n\r\t]*(?:[aA]|[lL][iI][nN][kK])[ \n\r\t]*"
+    rb"[hH][rR][eE][fF][ \n\r\t]*"
+    rb"(=[ =]*[\"']?)"
+    rb"([^\"' \n>\r\t\\]{0,1023})")
 
 
 def _strchr(buf: bytes, ch: int, start: int) -> int:
@@ -224,6 +247,8 @@ def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, b
     n = len(body)
     find = body.find
     rx_val_stop = _RX_VAL_STOP_CGI if get_cgi else _RX_VAL_STOP_NOCGI
+    fused_match = (_RX_FUSED_HREF_CGI if get_cgi
+                   else _RX_FUSED_HREF_NOCGI).match
 
     p = 0
     while True:
@@ -246,6 +271,27 @@ def parse_html(body: bytes, get_image: bool, get_cgi: bool) -> list[tuple[int, b
             else:
                 p += 2
             continue
+        # fused whole-construct path (see the pattern's comment): one C
+        # match emits the link; any miss falls through UNCHANGED into
+        # the generic dispatch below (p still at the '<')
+        m = fused_match(body, p)
+        if m is not None:
+            p0 = m.start(1)   # first non-space after href (spec's p0)
+            look = body[p0 + 4] if p0 + 4 < n else 0  # posParse[i] quirk
+            if look == 0x3E or look == 0:
+                p = p0        # not found: rescan from p0, like the spec
+                continue
+            vs, vend = m.span(2)
+            if vend - vs < 1023:
+                if vend == n:
+                    return out  # value truncated at EOF (file.cxx:753)
+                c = body[vend]
+                if c != 0x5C:  # backslash needs the '\'->'/' rewrite: generic
+                    if get_cgi or (c != 0x3F and c != 0x3D and c != 0x2A):
+                        out.append((_LINK, body[vs:vend]))
+                    p = vend + 1
+                    continue
+            # cap-length capture or backslash in the value: generic path
         p += 1
         # ---- parseTag, file.cxx:671-723 ----
         while p < n and body[p] in _SPACES:

@@ -109,6 +109,39 @@ def test_parse_html_fast_equals_spec(body, get_image, get_cgi):
         parse_html_ref(body, get_image, get_cgi)
 
 
+# Structured constructs: random tag soup almost never assembles a full
+# "<a href=..." by chance, so the fused whole-construct fast path needs
+# its own generator — well-formed-ish anchors with randomized spacing,
+# quoting, tag/param spelling, values (incl. backslashes, CGI chars,
+# quotes, EOF truncation) and junk between constructs.
+_spc = st.sampled_from([b"", b" ", b"  ", b"\n", b"\t", b"\r\n"])
+_tag = st.sampled_from([b"a", b"A", b"link", b"LiNk", b"abbr", b"al",
+                        b"base", b"frame", b"img"])
+_par = st.sampled_from([b"href", b"HREF", b"hReF", b"src", b"rel",
+                        b"hrefx"])
+_eq = st.sampled_from([b"=", b"= ", b"==", b" =", b"", b"x"])
+_quote = st.sampled_from([b"", b'"', b"'"])
+_val = st.lists(st.sampled_from(b'ax/.\\?=*%" \'>\n'),
+                min_size=0, max_size=12).map(bytes)
+_close = st.sampled_from([b">", b'">', b"'>", b" >", b"", b"/>"])
+_construct = st.tuples(_spc, _tag, _spc, _par, _eq, _quote, _val,
+                       _close).map(
+    lambda t: b"<" + t[0] + t[1] + t[2] + t[3] + t[4] + t[5] + t[6] + t[7])
+_junk = st.lists(st.sampled_from(b"x <>!-h"), min_size=0,
+                 max_size=6).map(bytes)
+_page = st.lists(st.tuples(_construct, _junk), min_size=1,
+                 max_size=6).map(lambda ps: b"".join(c + j for c, j in ps))
+
+
+@given(_page, st.booleans(), st.booleans())
+@settings(max_examples=2000, deadline=None)
+def test_parse_html_fused_constructs_equal_spec(body, get_image, get_cgi):
+    """Fused-path-shaped anchors (and near-misses) agree with the spec."""
+    from larbin_ray.kernels.extract import parse_html, parse_html_ref
+    assert parse_html(body, get_image, get_cgi) == \
+        parse_html_ref(body, get_image, get_cgi)
+
+
 @given(_pathish)
 @settings(max_examples=400, deadline=None)
 def test_file_normalize_fast_path_consistent(path):
