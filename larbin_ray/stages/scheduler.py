@@ -29,6 +29,7 @@ import ray
 
 from larbin_ray.config import CrawlConfig
 from larbin_ray.sources import dns as fixture_dns
+from larbin_ray.kernels.urlnorm import Url
 from larbin_ray.state.sites import SchedulerCore, UrlRec
 
 # one row per fetch the tick dispatches (robots + pages)
@@ -117,7 +118,7 @@ class SchedulerShardCore:
         unconditionally in parallel (seen shards ``set_many``)."""
         recs = [UrlRec(e[4], e[5], e[6], e[7],
                        akey=(e[0], e[1], e[2], e[3]),
-                       cookie=e[11] if len(e) > 11 else None, hc=e[8])
+                       cookie=e[11], hc=e[8])
                 for e in entries]
         self.core.enqueue(recs)
         return len(recs)
@@ -284,7 +285,8 @@ class SchedulerShardCore:
                 reason = "fastRobots"
             keep[j] = False
             answers[reason] += 1
-            failures.append((UrlRec(e[4], e[5], e[6], e[7]).url_str(),
+            failures.append((Url(e[4], e[5], e[6], e[7]).give_url()
+                             .decode("latin-1"),
                              reason, (e[0], e[1], e[2], e[3])))
         sp = g[keep]            # survivor indices, global admission order
         sp_list = sp.tolist()
@@ -308,7 +310,7 @@ class SchedulerShardCore:
         sorted order); enqueue the new ones.  UrlRec objects are built
         HERE, for admitted entries only."""
         new = [UrlRec(e[4], e[5], e[6], e[7], akey=(e[0], e[1], e[2], e[3]),
-                      cookie=e[11] if len(e) > 11 else None, hc=e[8])
+                      cookie=e[11], hc=e[8])
                for e, v in zip(self._surv_entries, verdicts) if v]
         self.core.enqueue(new)
         self._surv_entries = []
