@@ -82,12 +82,21 @@ def main(argv: list[str] | None = None) -> int:
     from larbin_ray.pipelines.crawl import ray_crawl_from_conf
 
     pages = pq.read_table(args.pages)
+    submit = args.submit_port
+    if submit is not None:
+        # bind HERE and announce the resolved port as a JSON line before
+        # the crawl starts — otherwise --submit-port 0 (ephemeral) binds
+        # a port no client can ever learn.  The crawl owns the server's
+        # lifecycle (ray_crawl closes it).
+        from larbin_ray.sources.submit import SubmissionServer
+        submit = SubmissionServer(port=submit)
+        print(json.dumps({"submit_port": submit.port}), flush=True)
     t0 = time.time()
     res = ray_crawl_from_conf(
         pages, args.conf, out_dir=args.out, build_rows=False,
         checkpoint_dir=args.checkpoint, resume=args.resume,
         max_ticks=args.max_ticks, watch_file=args.watch_file,
-        submit_port=args.submit_port)
+        submit_port=submit)
     wall = time.time() - t0
 
     if args.stats_report and args.checkpoint:

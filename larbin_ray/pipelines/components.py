@@ -67,17 +67,23 @@ def connected_components(edges: rd.Dataset, col_a: str, col_b: str,
     contain duplicates or both orientations; min() is idempotent."""
 
     # symmetrize once: (a,b) -> (a,b)+(b,a), so one join per round
-    # covers both propagation directions
+    # covers both propagation directions.  The edge-row tag columns
+    # (label=0, kind=0) are emitted here so the ONE materialized copy
+    # is already join-ready — a separate tag_edges pass would hold a
+    # second full copy of the symmetrized edge set alive for the whole
+    # propagation loop.
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df[col_a].to_numpy(dtype=np.int64)
         b = df[col_b].to_numpy(dtype=np.int64)
         out = pd.DataFrame({"src": np.concatenate([a, b]),
                             "dst": np.concatenate([b, a])})
         out["_bucket"] = _bucket_of(out["src"], n_buckets)
+        out["label"] = np.int64(0)
+        out["kind"] = np.int8(0)
         return out
 
-    edges2 = edges.map_batches(sym, batch_format="pandas").materialize()
-    if edges2.count() == 0:
+    e_tagged = edges.map_batches(sym, batch_format="pandas").materialize()
+    if e_tagged.count() == 0:
         return pd.DataFrame({"node": pd.array([], dtype="int64"),
                              "label": pd.array([], dtype="int64")})
 
@@ -91,7 +97,7 @@ def connected_components(edges: rd.Dataset, col_a: str, col_b: str,
     def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", as_index=False).agg(label=("label", "min"))
 
-    labels = (edges2.map_batches(init_partial, batch_format="pandas")
+    labels = (e_tagged.map_batches(init_partial, batch_format="pandas")
               .groupby("_bucket").map_groups(dedup_nodes,
                                              batch_format="pandas")
               .materialize())
@@ -116,12 +122,6 @@ def connected_components(edges: rd.Dataset, col_a: str, col_b: str,
     def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", as_index=False).agg(label=("label", "min"))
 
-    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["label"] = np.int64(0)
-        df["kind"] = np.int8(0)
-        return df
-
     def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"src": df["node"].to_numpy(dtype=np.int64),
                             "dst": np.int64(0),
@@ -143,8 +143,6 @@ def connected_components(edges: rd.Dataset, col_a: str, col_b: str,
         out["kind"] = np.int8(0)
         return out
 
-    e_tagged = edges2.map_batches(tag_edges, batch_format="pandas") \
-                     .materialize()
     for _ in range(_MAX_ROUNDS):
         cand = (e_tagged
                 .union(labels.map_batches(label_links, batch_format="pandas"))

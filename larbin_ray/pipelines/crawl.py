@@ -472,7 +472,11 @@ def _run_crawl(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     server = None
     if submit_port is not None:
         from larbin_ray.sources.submit import SubmissionServer
-        server = SubmissionServer(port=submit_port)
+        # an already-bound SubmissionServer is accepted so a caller can
+        # announce an ephemeral port BEFORE the crawl starts (the CLI's
+        # --submit-port 0); the crawl owns the lifecycle either way
+        server = (submit_port if isinstance(submit_port, SubmissionServer)
+                  else SubmissionServer(port=submit_port))
     try:
         return _run_crawl_inner(
             pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
@@ -641,6 +645,21 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         task_sink = out_dir is not None
         ship_text = keep_text
         sink_dir = f"{out_dir}/pages/tick={tick}" if task_sink else None
+        if sink_dir is not None:
+            # rerun over an existing out_dir: clear this tick's slices
+            # (and its dup-status sidecar) BEFORE the first task can
+            # write, so parts from an earlier, differently-batched run
+            # can't survive alongside the fresh ones.  Resume
+            # re-executes whole ticks, so per-tick clearing composes
+            # with checkpoint-granularity resume.  (Hoisted above the
+            # early/global fork — one copy for both paths; clearing an
+            # empty tick's dir is a no-op.)
+            if _os.path.isdir(sink_dir):
+                import shutil
+                shutil.rmtree(sink_dir)
+            _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
+            if _os.path.exists(_patch):
+                _os.remove(_patch)
         # per-shard early waves whenever the predicted tick size stays
         # under the Ray Data threshold (prediction = 4x last tick's
         # rows — tick volume tracks active IPs under politeness, not
@@ -650,15 +669,6 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
         early = None
         if (predict_rows is not None
                 and predict_rows < cfg.ray_data_min_tick_rows):
-            if sink_dir is not None:
-                # clear BEFORE the first early task can write (same
-                # contract as the global path's pre-wave clearing)
-                if _os.path.isdir(sink_dir):
-                    import shutil
-                    shutil.rmtree(sink_dir)
-                _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
-                if _os.path.exists(_patch):
-                    _os.remove(_patch)
             early = _early_wave(tick, begin_futs, sched, cfg, n_sched,
                                 _n_cpus, pages_refs, sink_dir, ship_text,
                                 _clk)
@@ -717,19 +727,6 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             # per-tick sidecar that read_crawl_pages applies — page text
             # never ships to the driver
             used_ray_data = tbl.num_rows >= cfg.ray_data_min_tick_rows
-            if sink_dir is not None:
-                # rerun over an existing out_dir: clear this tick's
-                # slices (and its dup-status sidecar) so parts from an
-                # earlier, differently-batched run can't survive
-                # alongside the fresh ones.  Resume re-executes whole
-                # ticks, so per-tick clearing composes with
-                # checkpoint-granularity resume.
-                if _os.path.isdir(sink_dir):
-                    import shutil
-                    shutil.rmtree(sink_dir)
-                _patch = f"{out_dir}/dup_patches/tick={tick}.parquet"
-                if _os.path.exists(_patch):
-                    _os.remove(_patch)
             _clk("concat", _t0)
         pre_futs = None     # set when admission is fired early at wave end
         chain = None        # set when the WHOLE chain is wired at wave end

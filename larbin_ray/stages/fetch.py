@@ -81,13 +81,18 @@ def _serialized_nbytes(obj) -> int:
 _SLICE_TRUNCATION_OK: list = [None]
 
 
-def _slices_truncate_ok(sample: pa.Table, full_nbytes: int) -> bool:
+def _slices_truncate_ok(full: pa.Table) -> bool:
     if _SLICE_TRUNCATION_OK[0] is None:
-        ser = _serialized_nbytes(sample)
-        # a truncated slice serializes to ~its own bytes; an embedded
-        # parent serializes to ~the corpus.  Split at half the corpus.
-        _SLICE_TRUNCATION_OK[0] = ser < max(sample.nbytes * 2 + (1 << 16),
-                                            full_nbytes // 2)
+        # probe with a TINY slice, not the largest bucket: a truncating
+        # pickle serializes to ~the slice's bytes, an embedding one to
+        # ~the corpus, so the midpoint discriminates at ANY bucket
+        # count — probing the largest bucket cannot (balanced B=2 puts
+        # its nbytes at ~corpus/2, where both behaviors look alike).
+        # pyarrow 16.1.0 EMBEDS parent buffers (measured), so today this
+        # returns False and put_pages deep-gathers each bucket.
+        probe = full.slice(0, min(64, full.num_rows))
+        ser = _serialized_nbytes(probe)
+        _SLICE_TRUNCATION_OK[0] = ser < (probe.nbytes + full.nbytes) // 2
     return _SLICE_TRUNCATION_OK[0]
 
 
@@ -163,8 +168,7 @@ def put_pages(pages: pa.Table, num_buckets: int = 1,
         # embed the whole corpus — fall back to a per-slice deep gather.
         slices = [srt.slice(int(s), int(e - s))
                   for s, e in zip(starts, ends)]
-        probe = max(slices, key=lambda t: t.num_rows)
-        if probe.num_rows and not _slices_truncate_ok(probe, srt.nbytes):
+        if srt.num_rows and not _slices_truncate_ok(srt):
             slices = [t.take(pa.array(np.arange(t.num_rows))) for t in slices]
         refs = [ray.put(t) for t in slices]
     _PUT_CACHE.clear()           # hold one web at a time (frees the old objects)
@@ -192,6 +196,11 @@ def _write_bucketed_parquet(tbl: pa.Table, num_buckets: int,
 
     from larbin_ray.pipelines.extract import from_table
 
+    # original row position rides along: a bucket directory's file
+    # order need not preserve corpus order, and duplicate-url
+    # resolution is defined as last-in-original-order (_UrlIndex)
+    tbl = tbl.append_column(
+        "__row__", pa.array(np.arange(tbl.num_rows, dtype=np.int64)))
     if os.path.isdir(parquet_dir):
         shutil.rmtree(parquet_dir)
     _PQ_GEN[0] += 1
@@ -229,14 +238,31 @@ class _UrlIndex:
     ~0.5 s/worker and whose probe re-hashed fresh str objects per
     batch); probe is a C-speed ``searchsorted`` + vectorized
     ``pc.equal`` verify, with an equal-hash-run scan fallback so a
-    sampled-hash collision costs extra comparisons, never a wrong row."""
+    sampled-hash collision costs extra comparisons, never a wrong row.
+
+    Duplicate corpus urls resolve to the LAST occurrence in original
+    table order — the oracle's dict-comprehension semantics
+    (simcrawl.py:68) and what the replaced per-worker dict did.  Within
+    an equal-hash run rows sort by descending original position, so the
+    leftmost-searchsorted candidate (and the fallback scan's first
+    match) is the last occurrence.  "Original position" is the local
+    row for in-memory tables and the ``__row__`` column for
+    Parquet-bucket reads, whose file order need not preserve the
+    corpus order."""
 
     __slots__ = ("sorted_h", "order", "urls", "html", "lat", "n")
 
     def __init__(self, table: pa.Table):
+        if "__row__" in table.column_names:
+            rowids = table["__row__"].combine_chunks().to_numpy()
+            table = table.drop_columns(["__row__"])
+        else:
+            rowids = np.arange(table.num_rows, dtype=np.int64)
         urls = table["url"].combine_chunks()
         h = hash_str_array(urls)
-        self.order = np.argsort(h, kind="stable")
+        # primary key h ascending, tiebreak rowid DESCENDING (lexsort:
+        # last key is primary)
+        self.order = np.lexsort((-rowids, h))
         self.sorted_h = h[self.order]
         self.urls = urls
         self.n = len(urls)

@@ -61,6 +61,47 @@ def test_cli_crawl_from_conf(tmp_path):
     assert list(out.glob("pages/tick=*/*.parquet"))
 
 
+def test_cli_submit_port_announced(tmp_path):
+    """--submit-port 0 (ephemeral) must announce the resolved port as a
+    JSON line BEFORE the crawl starts — otherwise no client can ever
+    learn where to connect (r5 review finding)."""
+    import socket
+
+    from larbin_ray.sources.synthweb import gen_web
+
+    web = gen_web(60, 6, seed=42)
+    pages = tmp_path / "pages.parquet"
+    pq.write_table(web, pages)
+    conf = tmp_path / "t.conf"
+    conf.write_text(CONF)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "larbin_ray", "--conf", str(conf),
+         "--pages", str(pages), "--submit-port", "0"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        port = None
+        for line in proc.stdout:
+            if line.startswith("{") and "submit_port" in line:
+                port = json.loads(line)["submit_port"]
+                break
+        assert port, "ephemeral submit port was never announced"
+        # the daemon is live while the crawl runs: a client can connect
+        # and speak the protocol (drain timing is covered by
+        # test_submit.py; here we pin announce-before-crawl + liveness)
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as c:
+            c.sendall(b"priority:1 depth:5 test:1\n")
+        summary = None
+        for line in proc.stdout:
+            if line.startswith("{") and "fetched" in line:
+                summary = json.loads(line)
+        assert summary and summary["fetched"] > 0
+        assert proc.wait(timeout=120) == 0
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_cli_serve_stats(tmp_path):
     """--serve exposes the stats report over HTTP (the reference
     webserver endpoint, utils/webserver.cxx:840-870)."""

@@ -176,6 +176,42 @@ def test_parquet_bucket_backend_matches_broadcast(ray_session, tmp_path):
     assert got.equals(expect)
 
 
+def test_duplicate_urls_resolve_to_last_occurrence(ray_session, tmp_path):
+    """Duplicate corpus urls resolve to the LAST occurrence in original
+    table order — the oracle's dict-comprehension semantics
+    (simcrawl.py index) and what the pre-r5 per-worker dict did — on
+    all three fetch backends, and the whole crawl stays oracle-exact
+    on the duplicated corpus."""
+    from larbin_ray.oracle.simcrawl import oracle_crawl
+    from larbin_ray.pipelines.crawl import ray_crawl
+    from larbin_ray.stages import fetch as F
+    from tests.test_crawl_e2e import assert_same_crawl
+
+    web = gen_web(60, 6, seed=7)
+    dup_url = web["url"][10].as_py()
+    alt_html = web["html"][20].as_py()
+    assert web["html"][10].as_py() != alt_html
+    # a second row for dup_url with row 20's html: last occurrence wins
+    extra = web.slice(20, 1).set_column(
+        web.column_names.index("url"), "url",
+        pa.array([dup_url], pa.string()))
+    web2 = pa.concat_tables([web, extra])
+
+    batch = pa.table({"url": pa.array([dup_url], pa.string())})
+    for refs in (F.put_pages(web2, 1), F.put_pages(web2, 5),
+                 F.put_pages(web2, 5, parquet_dir=str(tmp_path / "dupb"))):
+        F._INDEX_CACHE.clear()
+        F._BUCKET_CACHE.clear()
+        out = F.make_fetch_fn(refs)(batch)
+        assert out["html"].to_pylist()[0] == alt_html
+
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=3,
+                      num_seen_shards=2)
+    assert_same_crawl(oracle_crawl(web2, seeds, cfg),
+                      ray_crawl(web2, seeds, cfg))
+
+
 def test_parquet_bucket_backend_whole_crawl(ray_session, tmp_path):
     """Whole-crawl equality: the Parquet backend produces the identical
     crawl (order keys, answers, seen set) to the broadcast path."""
