@@ -67,21 +67,26 @@ def test_bucketed_fetch_lru_eviction(ray_session, monkeypatch):
 
 
 def test_miss_hashing_to_empty_bucket(ray_session):
-    """A frontier url absent from the corpus whose crc32 lands in a
-    bucket NO corpus url hashes to must synthesize the 404 like any
-    other miss (regression: take() on the 0-row bucket array raised
-    ArrowIndexError and killed the fetch task)."""
-    import zlib
-
+    """A frontier url absent from the corpus that lands in a bucket NO
+    corpus url hashes to must synthesize the 404 like any other miss
+    (regression: take() on the 0-row bucket array raised
+    ArrowIndexError and killed the fetch task).  The empty bucket is
+    derived with the ENGINE's bucket function (_url_bucket_array) so
+    the premise survives hash changes — the original crc32 derivation
+    stopped matching when bucketing moved to the sampled strhash."""
     from larbin_ray.stages import fetch as F
 
     web = gen_web(6, 2, seed=5)
     B = 64   # tiny corpus + many buckets guarantees empty buckets
-    used = {zlib.crc32(u.encode()) % B for u in web["url"].to_pylist()}
+    used = set(F._url_bucket_array(web["url"].combine_chunks(), B).tolist())
     assert len(used) < B
-    miss = next(f"http://nosuch.example/{i}" for i in range(10_000)
-                if zlib.crc32(f"http://nosuch.example/{i}".encode()) % B
-                not in used)
+
+    def _bucket(u: str) -> int:
+        return int(F._url_bucket_array(pa.array([u], pa.string()), B)[0])
+
+    miss = next(u for u in (f"http://nosuch.example/{i}"
+                            for i in range(10_000))
+                if _bucket(u) not in used)
     refs = F.put_pages(web, B)
     batch = pa.table({"url": pa.array(
         [web["url"][0].as_py(), miss], pa.string())})
