@@ -81,6 +81,31 @@ def test_probe_resolves_collisions_exactly():
     assert list(index.probe(pa.array([uc], pa.string()))) == [-1]
 
 
+def test_probe_duplicates_fuzz_vs_dict():
+    """Randomized corpora with duplicate urls (incl. colliding pairs
+    duplicated): probe must agree everywhere with the oracle's dict
+    semantics — LAST occurrence wins (simcrawl.py:68) — with misses at
+    -1.  Locks the r5 lexsort tiebreak under every mix of dup runs,
+    collisions and misses."""
+    rng = np.random.RandomState(1234)
+    ua, ub = _colliding_pair()
+    pool = ([f"http://s{i % 7}.example.com/p{i}.html" for i in range(40)]
+            + [ua, ub])
+    for trial in range(25):
+        n = int(rng.randint(1, 120))
+        urls = [pool[i] for i in rng.randint(0, len(pool), n)]
+        tbl = pa.table({"url": pa.array(urls, pa.string()),
+                        "html": pa.array([str(i).encode() for i in range(n)],
+                                         pa.binary())})
+        index = _UrlIndex(tbl)
+        ref = {u: i for i, u in enumerate(urls)}        # last wins
+        queries = ([pool[i] for i in rng.randint(0, len(pool), 30)]
+                   + ["http://miss.example.com/a", ua + "x"])
+        pos = index.probe(pa.array(queries, pa.string()))
+        expect = [ref.get(q, -1) for q in queries]
+        assert list(pos) == expect, f"trial {trial}"
+
+
 def test_probe_empty_and_bulk():
     rng = np.random.RandomState(7)
     urls = [f"http://s{i % 13}.example.com/p/{i}/d{i}.html"
