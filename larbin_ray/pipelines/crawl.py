@@ -328,7 +328,7 @@ def _fire_pre_admit(sched, dup_parents: list[tuple],
     return futs
 
 
-def _admit_barrier(res: CrawlResult, cfg: CrawlConfig, sched, seen,
+def _admit_barrier(cfg: CrawlConfig, sched, seen,
                    dup_parents: list[tuple],
                    robots_by_shard: dict[int, list] | None = None,
                    prefired: list | None = None) -> tuple[list, list]:
@@ -435,7 +435,7 @@ def _drain_submissions(subs, res, cfg, sched, seen, n_sched, n_seen,
         if key[0]:      # test=1: the check()-path admission barrier
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in entries_by_shard.items()])
-            pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
+            pending_dup.append((None, *_admit_barrier(cfg, sched, seen, [])))
         else:           # test=0: set without test + forced enqueue
             codes = np.asarray(hcs, dtype=np.int64)
             mod = codes % n_seen
@@ -556,7 +556,7 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
     # urlDup count refs from every barrier settle lazily in barrier
     # order — the chain itself is the per-actor-ordered barrier
     pending_dup: list[tuple] = []
-    pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
+    pending_dup.append((None, *_admit_barrier(cfg, sched, seen, [])))
 
     # throughput-mode fast path: when nothing out-of-band can feed or
     # observe a tick boundary (no watcher/injection between ticks, no
@@ -630,7 +630,7 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     inj_entries.setdefault(sid, []).append(_check_entry(0, i, u))
             ray.get([sched[sid].submit_links.remote(e)
                      for sid, e in inj_entries.items()])
-            pending_dup.append((None, *_admit_barrier(res, cfg, sched, seen, [])))
+            pending_dup.append((None, *_admit_barrier(cfg, sched, seen, [])))
         _t0 = _time.time()
         # num_returns=3 splits each shard's (robots, dispatch table,
         # queued) into separate objects: the driver reads all three
@@ -894,15 +894,19 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
                     # status-patch sidecar: the distributed task-side sink
                     # wrote this tick's slices with pre-dup statuses (the
                     # dup verdict needs the global fetch order and can't
-                    # exist task-side); the patch holds ONE url per
-                    # duplicate row — O(dups this tick), never page text
+                    # exist task-side); the patch holds ONE (url, sub) per
+                    # duplicate row — O(dups this tick), never page text.
+                    # sub disambiguates a url legitimately fetched twice
+                    # within one tick (test=0 refetch in drain mode):
+                    # only the losing row's status flips
                     import os
 
                     import pyarrow.parquet as pq
+                    _dri = pa.array(dup_rows, pa.int64())
                     os.makedirs(f"{out_dir}/dup_patches", exist_ok=True)
                     pq.write_table(
-                        pa.table({"url": pc.take(
-                            ctrl["url"], pa.array(dup_rows, pa.int64()))}),
+                        pa.table({"url": pc.take(ctrl["url"], _dri),
+                                  "sub": pc.take(ctrl["sub"], _dri)}),
                         f"{out_dir}/dup_patches/tick={tick}.parquet")
 
         _clk("dup", _t0)
@@ -952,7 +956,7 @@ def _run_crawl_inner(pages, seeds, cfg, out_dir, max_ticks, sched, seen, dup,
             dup_refs, apply_refs = chain
         else:
             dup_refs, apply_refs = _admit_barrier(
-                res, cfg, sched, seen, dup_parents,
+                cfg, sched, seen, dup_parents,
                 robots_by_shard=robots_payload, prefired=pre_futs)
         _clk("admit", _t0)
 
@@ -1077,22 +1081,28 @@ def read_crawl_pages(out_dir: str) -> pa.Table:
     if patches:
         import re as _re
 
-        # scope each patch to its own tick and to non-robots rows: the
-        # same url can legitimately appear in several sink rows (a
-        # robots fetch bypasses the url-seen set; test=0 submissions
-        # refetch) and only the patched tick's page row was the dup
+        # scope each patch to its own tick, dispatch sub and non-robots
+        # rows: the same url can legitimately appear in several sink
+        # rows (a robots fetch bypasses the url-seen set; test=0
+        # submissions refetch — even twice within ONE tick in drain
+        # mode) and only the losing row was the dup
         parts = []
         for p in patches:
             t = int(_re.search(r"tick=(\d+)", p).group(1))
-            u = pq.read_table(p)["url"].combine_chunks()
-            parts.append(pa.table({"tick": pa.array([t] * len(u), pa.int64()),
-                                   "url": u}))
+            pt = pq.read_table(p)
+            u = pt["url"].combine_chunks()
+            parts.append(pa.table({
+                "tick": pa.array([t] * len(u), pa.int64()),
+                "sub": pt["sub"].combine_chunks().cast(pa.int64()),
+                "url": u}))
         pats = pa.concat_tables(parts)
         sep = pa.scalar("|")
         key_tbl = pc.binary_join_element_wise(
-            pc.cast(tbl["tick"], pa.string()), tbl["url"], sep)
+            pc.cast(tbl["tick"], pa.string()),
+            pc.cast(tbl["sub"], pa.string()), tbl["url"], sep)
         key_pat = pc.binary_join_element_wise(
-            pc.cast(pats["tick"], pa.string()), pats["url"], sep)
+            pc.cast(pats["tick"], pa.string()),
+            pc.cast(pats["sub"], pa.string()), pats["url"], sep)
         mask = pc.and_(pc.is_in(key_tbl, value_set=key_pat.combine_chunks()),
                        pc.invert(tbl["is_robots"]))
         status = pc.if_else(mask, pa.scalar("duplicate"), tbl["status"])

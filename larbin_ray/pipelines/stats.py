@@ -119,9 +119,11 @@ def dns_html(ckpt_path: str) -> bytes:
     from collections import Counter
 
     import pyarrow.parquet as pq
+
+    from larbin_ray.pipelines.checkpoint import state_path
     counts: Counter = Counter()
     n_hosts = 0
-    for f in sorted(glob.glob(f"{ckpt_path}/hosts/shard=*.parquet")):
+    for f in sorted(glob.glob(f"{state_path(ckpt_path)}/hosts/shard=*.parquet")):
         t = pq.read_table(f, columns=["dns_state"])
         n_hosts += t.num_rows
         for v in t["dns_state"].to_pylist():

@@ -399,35 +399,36 @@ class SchedulerShardCore:
         import pyarrow as _pa
         f_host, f_port, f_file, f_depth, f_ip, f_kind, f_pos, f_cookie = \
             [], [], [], [], [], [], [], []
-        for ip_str, st in self.core.ips.items():
-            for pos, rec in enumerate(st.queue):
-                f_host.append(rec.host)
-                f_port.append(rec.port)
-                f_file.append(rec.file)
-                f_depth.append(rec.depth)
-                f_ip.append(ip_str)
-                f_kind.append("queue")
-                f_pos.append(pos)
-                f_cookie.append(rec.cookie)
-        for (hname, hport), h in self.core.hosts.items():
-            for pos, rec in enumerate(h.pending):
-                f_host.append(rec.host)
-                f_port.append(rec.port)
-                f_file.append(rec.file)
-                f_depth.append(rec.depth)
-                f_ip.append("")
-                f_kind.append("pending")
-                f_pos.append(pos)
-                f_cookie.append(rec.cookie)
-        for pos, rec in enumerate(self.core.overflow):
+        # akey + hc ride along: a restored rec that later FAILS (noDNS,
+        # forbiddenRobots, recycle_overflow forget) logs (url, reason,
+        # akey), so dropping the key would make a resumed crawl's
+        # failure log diverge from an uninterrupted one's
+        f_ak_prio, f_ak_pip, f_ak_sub, f_ak_order, f_hc = [], [], [], [], []
+
+        def _rec_cols(rec, ip_str, kind, pos):
             f_host.append(rec.host)
             f_port.append(rec.port)
             f_file.append(rec.file)
             f_depth.append(rec.depth)
-            f_ip.append("")
-            f_kind.append("overflow")
+            f_ip.append(ip_str)
+            f_kind.append(kind)
             f_pos.append(pos)
             f_cookie.append(rec.cookie)
+            ak = rec.akey if len(rec.akey) == 4 else (0, "", 0, 0)
+            f_ak_prio.append(int(ak[0]))
+            f_ak_pip.append(str(ak[1]))
+            f_ak_sub.append(int(ak[2]))
+            f_ak_order.append(int(ak[3]))
+            f_hc.append(int(rec.hc))
+
+        for ip_str, st in self.core.ips.items():
+            for pos, rec in enumerate(st.queue):
+                _rec_cols(rec, ip_str, "queue", pos)
+        for (hname, hport), h in self.core.hosts.items():
+            for pos, rec in enumerate(h.pending):
+                _rec_cols(rec, "", "pending", pos)
+        for pos, rec in enumerate(self.core.overflow):
+            _rec_cols(rec, "", "overflow", pos)
         frontier = _pa.table({
             "host": _pa.array(f_host, _pa.binary()),
             "port": _pa.array(f_port, _pa.int32()),
@@ -437,6 +438,11 @@ class SchedulerShardCore:
             "kind": _pa.array(f_kind, _pa.string()),
             "pos": _pa.array(f_pos, _pa.int64()),
             "cookie": _pa.array(f_cookie, _pa.binary()),
+            "akey_prio": _pa.array(f_ak_prio, _pa.int64()),
+            "akey_pip": _pa.array(f_ak_pip, _pa.string()),
+            "akey_sub": _pa.array(f_ak_sub, _pa.int64()),
+            "akey_order": _pa.array(f_ak_order, _pa.int64()),
+            "hc": _pa.array(f_hc, _pa.int64()),
         })
         rank = {k: i for i, k in enumerate(self.core.unresolved)}
         hosts = _pa.table({
@@ -479,15 +485,28 @@ class SchedulerShardCore:
                 core.unresolved.append((hname, hport))
             if hip:
                 core.ips.setdefault(hip, IPState())
+        n_rows = frontier.num_rows
         cookies = frontier["cookie"].to_pylist() if "cookie" in frontier.column_names \
-            else [None] * frontier.num_rows
+            else [None] * n_rows
+        # akey/hc columns restore each rec's admission identity: a
+        # restored rec that later fails must log the SAME (url, reason,
+        # akey) tuple an uninterrupted run logs
+        if "akey_prio" in frontier.column_names:
+            akeys = list(zip(frontier["akey_prio"].to_pylist(),
+                             frontier["akey_pip"].to_pylist(),
+                             frontier["akey_sub"].to_pylist(),
+                             frontier["akey_order"].to_pylist()))
+            hcs = frontier["hc"].to_pylist()
+        else:
+            akeys = [()] * n_rows
+            hcs = [0] * n_rows
         rows = sorted(zip(frontier["ip"].to_pylist(), frontier["pos"].to_pylist(),
                           frontier["kind"].to_pylist(), frontier["host"].to_pylist(),
                           frontier["port"].to_pylist(), frontier["file"].to_pylist(),
-                          frontier["depth"].to_pylist(), cookies),
+                          frontier["depth"].to_pylist(), cookies, akeys, hcs),
                       key=lambda t: t[:7])
-        for ip_str, _pos, kind, hname, hport, file, depth, ck in rows:
-            rec = UrlRec(hname, hport, file, depth, cookie=ck)
+        for ip_str, _pos, kind, hname, hport, file, depth, ck, ak, hc in rows:
+            rec = UrlRec(hname, hport, file, depth, akey=ak, cookie=ck, hc=hc)
             if kind == "queue":
                 core.ips.setdefault(ip_str, IPState()).queue.append(rec)
                 h = core.hosts.get((core.site_key(hname), hport))

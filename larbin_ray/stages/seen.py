@@ -90,10 +90,13 @@ class BitsetShardCore:
     def load_table(self, b: bytes) -> None:
         self.bitset.table = np.frombuffer(b, dtype=np.uint8).copy()
 
-    def load_codes(self, codes: list[int]) -> None:
-        """Restore from global bit indices (checkpoint resharding path)."""
-        for c in codes:
-            self.bitset.test_set(c // self.num_shards)
+    def load_codes(self, codes) -> None:
+        """Restore from global bit indices (checkpoint resharding path).
+        Vectorized set_many — the restore discards test verdicts, so the
+        per-code Python test_set loop bought nothing but seconds of
+        serial work per shard at design-scale seen sets."""
+        codes = np.asarray(codes, dtype=np.int64) // self.num_shards
+        self.bitset.set_many(codes)
 
 
 @ray.remote

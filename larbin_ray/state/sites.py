@@ -88,7 +88,6 @@ class HostState:
 @dataclass
 class IPState:
     queue: deque = field(default_factory=deque)
-    last_tick: int = -1
 
 
 class SchedulerCore:
@@ -315,7 +314,6 @@ class SchedulerCore:
             sub = 0
             while st.queue:
                 rec = st.queue.popleft()
-                st.last_tick = tick
                 if cap:
                     h = self.hosts.get((self.site_key(rec.host), rec.port))
                     if h is not None:

@@ -85,10 +85,105 @@ def test_checkpoint_metrics_lineage(ray_session, web, tmp_path):
     assert m[-1]["cum_success"] > 0
     ticks = [r["tick"] for r in m]
     assert ticks == sorted(ticks)
-    # per-partition frontier/hosts/seen files exist
-    assert glob.glob(f"{ck}/frontier/shard=*.parquet")
-    assert glob.glob(f"{ck}/hosts/shard=*.parquet")
-    assert glob.glob(f"{ck}/seen/shard=*.npy")
+    # per-partition frontier/hosts/seen files exist under the
+    # manifest's published state dir (atomic-publish layout)
+    from larbin_ray.pipelines.checkpoint import state_path
+    sp = state_path(ck)
+    assert glob.glob(f"{sp}/frontier/shard=*.parquet")
+    assert glob.glob(f"{sp}/hosts/shard=*.parquet")
+    assert glob.glob(f"{sp}/seen/shard=*.npy")
+    # exactly ONE live state dir: superseded ones were GC'd after the
+    # manifest swap
+    assert len(glob.glob(f"{ck}/state-*")) == 1
+
+
+def test_frontier_roundtrip_preserves_admission_identity():
+    """checkpoint_tables -> restore must carry each rec's akey + hc:
+    a restored rec that later FAILS (noDNS at the first post-resume
+    resolve, forbiddenRobots at transfer, overflow recycle) logs
+    (url, reason, akey), so dropping the key would make a resumed
+    crawl's failure log diverge from an uninterrupted one's (r5 review
+    finding)."""
+    from larbin_ray.stages.scheduler import SchedulerShardCore
+    from larbin_ray.state.sites import HostState, IPState, UrlRec
+
+    cfg = CrawlConfig(num_scheduler_shards=1)
+    a = SchedulerShardCore(0, cfg)
+    ca = a.core
+    r_pend = UrlRec(b"waiting.example", 80, b"/p/1.html", 4,
+                    akey=(1, "10.0.0.9", 3, 7), cookie=b"k=v", hc=111)
+    r_queue = UrlRec(b"done.example", 80, b"/q.html", 5,
+                     akey=(0, "10.0.0.2", 0, 1), hc=222)
+    r_over = UrlRec(b"capped.example", 8080, b"/o.html", 2,
+                    akey=(2, "10.0.0.3", 9, 0), hc=333)
+    h_wait = HostState(b"waiting.example", 80)
+    h_wait.pending.append(r_pend)
+    h_wait.nburls = 1
+    ca.hosts[(b"waiting.example", 80)] = h_wait
+    ca.unresolved.append((b"waiting.example", 80))
+    ca.hosts[(b"done.example", 80)] = HostState(
+        b"done.example", 80, dns_state="done", ip="10.0.0.2")
+    st = IPState()
+    st.queue.append(r_queue)
+    ca.ips["10.0.0.2"] = st
+    ca.overflow.append(r_over)
+
+    frontier, hosts = a.checkpoint_tables()
+    b = SchedulerShardCore(0, cfg)
+    b.restore(frontier, hosts)
+    cb = b.core
+
+    def key(rec):
+        return (rec.host, rec.port, rec.file, rec.depth, rec.akey,
+                rec.cookie, rec.hc)
+
+    assert key(cb.hosts[(b"waiting.example", 80)].pending[0]) == key(r_pend)
+    assert key(cb.ips["10.0.0.2"].queue[0]) == key(r_queue)
+    assert key(cb.overflow[0]) == key(r_over)
+
+
+def test_checkpoint_partial_state_dir_is_ignored(ray_session, web, tmp_path):
+    """Atomic publish: a crashed mid-checkpoint write (a state dir that
+    never made it into the manifest — possibly with truncated files)
+    must not affect restore, which reads only the manifest's published
+    state dir."""
+    import numpy as np
+
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    seeds = default_seeds(6)
+    cfg = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                      num_seen_shards=2, checkpoint_every=4)
+    full = ray_crawl(web, seeds, cfg)
+    ck = str(tmp_path / "ck")
+    ray_crawl(web, seeds, cfg, checkpoint_dir=ck, max_ticks=8)
+    # simulate a crash during a LATER checkpoint: garbage state dir
+    # (truncated parquet) alongside the published one
+    bad = f"{ck}/state-999/frontier"
+    os.makedirs(bad)
+    with open(f"{bad}/shard=0.parquet", "wb") as f:
+        f.write(b"PAR1 truncated garbage")
+    resumed = ray_crawl(web, seeds, cfg, checkpoint_dir=ck, resume=True)
+    assert dict(resumed.answers) == dict(full.answers)
+    assert np.array_equal(resumed.seen_indices, full.seen_indices)
+
+
+def test_resume_rejects_dup_config_mismatch(ray_session, web, tmp_path):
+    """Resuming with page_no_duplicate flipped must raise — the stored
+    content-dup state cannot be reconciled (off->on has no dup bitset;
+    on->off would silently drop it and diverge the histogram)."""
+    from larbin_ray.pipelines.crawl import ray_crawl
+
+    seeds = default_seeds(6)
+    cfg_off = CrawlConfig(depth_by_site=True, num_scheduler_shards=2,
+                          num_seen_shards=2, checkpoint_every=4)
+    ck = str(tmp_path / "ck")
+    ray_crawl(web, seeds, cfg_off, checkpoint_dir=ck, max_ticks=8)
+    cfg_on = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
+                         num_scheduler_shards=2, num_seen_shards=2,
+                         checkpoint_every=4)
+    with pytest.raises(ValueError, match="page_no_duplicate"):
+        ray_crawl(web, seeds, cfg_on, checkpoint_dir=ck, resume=True)
 
 
 def test_stats_report(ray_session, tmp_path):

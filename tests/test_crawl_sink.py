@@ -125,11 +125,13 @@ def test_dup_patch_scoped_to_tick(tmp_path):
         pq.write_table(pa.table({
             "url": ["http://h.example/x.html"],
             "tick": pa.array([tick], pa.int64()),
+            "sub": pa.array([0], pa.int64()),
             "is_robots": [False],
             "status": [st],
         }), d / "part-0.parquet")
     (out / "dup_patches").mkdir()
-    pq.write_table(pa.table({"url": ["http://h.example/x.html"]}),
+    pq.write_table(pa.table({"url": ["http://h.example/x.html"],
+                             "sub": pa.array([0], pa.int64())}),
                    out / "dup_patches" / "tick=1.parquet")
 
     got = read_crawl_pages(str(out)).sort_by("tick")
@@ -158,3 +160,39 @@ def test_pages_broadcast_uses_large_offsets(ray_session):
     out = make_fetch_fn(ref)(batch)
     assert out["html"].type == pa.binary()
     assert out["html"].to_pylist() == web["html"].slice(0, 8).to_pylist()
+
+
+def test_dup_patch_disambiguates_same_url_same_tick(tmp_path):
+    """A url legitimately fetched TWICE within one tick (test=0 refetch
+    in drain mode) where only the second fetch lost the content-dup
+    race: the patch keys on (tick, sub, url), so only the losing sink
+    row's status flips (r5 review finding — a (tick, url) key flipped
+    both)."""
+    import os
+
+    import pyarrow as pa
+
+    from larbin_ray.pipelines.crawl import read_crawl_pages
+
+    out = str(tmp_path / "sink")
+    os.makedirs(f"{out}/pages/tick=3", exist_ok=True)
+    os.makedirs(f"{out}/dup_patches", exist_ok=True)
+    rows = pa.table({
+        "url": pa.array(["http://a.example/x.html"] * 2
+                        + ["http://b.example/y.html"], pa.string()),
+        "tick": pa.array([3, 3, 3], pa.int64()),
+        "sub": pa.array([0, 5, 5], pa.int64()),
+        "status": pa.array(["success"] * 3, pa.string()),
+        "is_robots": pa.array([False] * 3, pa.bool_()),
+    })
+    pq.write_table(rows, f"{out}/pages/tick=3/part-0.parquet")
+    # the dup barrier flagged only the SECOND fetch of a.example (sub=5)
+    pq.write_table(pa.table({"url": pa.array(["http://a.example/x.html"],
+                                             pa.string()),
+                             "sub": pa.array([5], pa.int64())}),
+                   f"{out}/dup_patches/tick=3.parquet")
+    got = read_crawl_pages(out)
+    by = {(r["sub"], r["url"]): r["status"] for r in got.to_pylist()}
+    assert by[(0, "http://a.example/x.html")] == "success"
+    assert by[(5, "http://a.example/x.html")] == "duplicate"
+    assert by[(5, "http://b.example/y.html")] == "success"
