@@ -52,7 +52,8 @@ def _crawl(sf_dir: str):
     from larbin_ray.pipelines.crawl import ray_crawl
     from larbin_ray.sources.synthweb import default_seeds, gen_web
 
-    n_pages, n_domains = (120, 8) if "0.001" in sf_dir else (240, 12)
+    from larbin_ray.pipelines import sf_tier
+    n_pages, n_domains = (120, 8) if sf_tier(sf_dir) == "0.001" else (240, 12)
     cfg = CrawlConfig(page_no_duplicate=True, depth_by_site=True,
                       wait_duration=0,  # drain mode: few ticks, big batches
                       num_scheduler_shards=4, num_seen_shards=2)
@@ -91,8 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def extract_pages(sf_dir: str):
         from larbin_ray.config import CrawlConfig
         from larbin_ray.pipelines.extract import extract_summary, from_table
+        from larbin_ray.pipelines import sf_tier
         from larbin_ray.sources.synthweb import gen_web
-        n_pages, n_domains = (120, 8) if "0.001" in sf_dir else (240, 12)
+        n_pages, n_domains = ((120, 8) if sf_tier(sf_dir) == "0.001"
+                              else (240, 12))
         return extract_summary(from_table(gen_web(n_pages, n_domains), 8),
                                CrawlConfig(), concurrency=2, batch_size=128)
 

@@ -47,6 +47,31 @@ def worker_stage(cls, *args):
     return inst
 
 
+def table_rows(sf_dir: str, table: str, default: int = 100_000) -> int:
+    """Row count from the parquet footer (no data read) — sizes shuffle
+    bucket counts to the data instead of a hard-coded constant.  ONE
+    home for the heuristic (textops and relational both derive bucket
+    counts from it)."""
+    import pyarrow.parquet as pq
+    try:
+        return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    except OSError:
+        return default
+
+
+def sf_tier(sf_dir: str) -> str:
+    """The scale-factor tag of a testdata dir ("0.001", "0.01", "0.1"),
+    parsed from the path BASENAME ("sfX.Y") — a substring sniff over the
+    whole path misfires on names that merely contain the digits.  ""
+    when unrecognized (callers fall back to their larger-tier sizing).
+    One home for the three fixture-scaling call sites."""
+    import os
+    import re
+    m = re.search(r"^sf([0-9.]+)$",
+                  os.path.basename(os.path.normpath(sf_dir)))
+    return m.group(1) if m else ""
+
+
 def round_half_away(x, decimals: int):
     """DuckDB ``round()`` semantics: ``sign * floor(|x|*10^d + 0.5)``,
     the exact expression DuckDB evaluates — the oracle contract this

@@ -382,7 +382,8 @@ def media_decoded_oracle_sql() -> str:
 
 def media_features(sf_dir: str) -> pd.DataFrame:
     """queries() entry: summary row per media item (rows-only check)."""
-    n = 120 if "0.001" in sf_dir else 360
+    from larbin_ray.pipelines import sf_tier
+    n = 120 if sf_tier(sf_dir) == "0.001" else 360
     media = gen_media(n, seed=42)
     out = media_pipeline(media)
     img = out["image"].to_pandas()

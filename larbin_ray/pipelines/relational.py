@@ -39,13 +39,16 @@ def _sized_read(path: str, columns=None, min_blocks: int | None = None) -> rd.Da
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
-    """Row count from the parquet footer (no data read) — sizes shuffle
-    bucket counts to the data instead of a hard-coded constant."""
-    import pyarrow.parquet as pq
-    try:
-        return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    except OSError:
-        return 100_000
+    from larbin_ray.pipelines import table_rows
+    return table_rows(sf_dir, table, default=100_000)
+
+
+def _id_bucket(ids: pd.Series, n_buckets: int) -> np.ndarray:
+    """Fibonacci-mixed shuffle bucket of an int id column.  A raw
+    ``id % n`` collapses structured ids (stride sharing a factor with
+    n) into few buckets — the skew the bucketing exists to avoid."""
+    mix = ids.to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((mix >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def doc_count_by_lang_source(sf_dir: str) -> rd.Dataset:
@@ -90,8 +93,15 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         epoch_us = t["ts"].cast(pa.int64())
-        w = pc.multiply(pc.floor(pc.divide(epoch_us, window_s * 1_000_000))
-                        .cast(pa.int64()), window_s * 1_000_000)
+        w_us = window_s * 1_000_000
+        # TRUE floor division: arrow's int64 divide truncates toward
+        # zero (the old pc.floor was a no-op on the already-truncated
+        # int), while the SQL oracle floors — pre-1970 timestamps would
+        # land one window high
+        q = pc.divide(epoch_us, w_us)
+        r = pc.subtract(epoch_us, pc.multiply(q, w_us))
+        q = pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)
+        w = pc.multiply(q, w_us)
         tt = pa.table({"window_start_us": w, "event_type": t["event_type"],
                        "value": t["value"]})
         g = tt.group_by(["window_start_us", "event_type"]).aggregate(
@@ -132,7 +142,7 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
                                 rows_per_bucket=10_000)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = df["user_id"] % n_buckets
+        df["bucket"] = _id_bucket(df["user_id"], n_buckets)
         return df
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -142,7 +152,10 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
         agg = g.groupby([g["user_id"], sid]).agg(
             session_start=("ts", "min"), n_events=("ts", "size"),
             sum_value=("value", "sum")).reset_index(level=0)
-        agg["session_start_us"] = agg["session_start"].astype("int64")
+        # unit-safe epoch: a bare astype('int64') yields the column's
+        # NATIVE resolution (ns on an ns-typed input = 1000x the oracle)
+        agg["session_start_us"] = (agg["session_start"]
+                                   .astype("datetime64[us]").astype("int64"))
         from larbin_ray.pipelines import round_half_away
         agg["sum_value"] = round_half_away(agg["sum_value"], 2)
         return agg[["user_id", "session_start_us", "n_events", "sum_value"]]
@@ -264,7 +277,7 @@ def events_asof_prev_error(sf_dir: str) -> rd.Dataset:
                                 rows_per_bucket=10_000)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = df["user_id"] % n_buckets
+        df["bucket"] = _id_bucket(df["user_id"], n_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

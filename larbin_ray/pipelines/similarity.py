@@ -37,6 +37,13 @@ def load_embeddings(sf_dir: str, min_blocks: int | None = None) -> rd.Dataset:
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
+    """L2-normalize rows.  Documented contract deviation: a zero-norm
+    embedding gets cosine 0.0 against everything (the common engine
+    convention), where DuckDB's list_cosine_similarity yields NULL
+    (which ORDER BY sim DESC sorts last) — on a corpus containing
+    zero vectors the knn oracles would rank such rows differently.
+    The fixture embeddings are all nonzero; callers feeding real data
+    with zero vectors should filter them ahead of the scorer."""
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n

@@ -17,7 +17,6 @@ import zlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -49,13 +48,8 @@ def _mix_bucket(hi: np.ndarray, lo: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _doc_rows(sf_dir: str) -> int:
-    """Row count from parquet footer metadata (no data read) — used to
-    derive shuffle bucket counts from the data size."""
-    import pyarrow.parquet as pq
-    try:
-        return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    except OSError:
-        return 10_000
+    from larbin_ray.pipelines import table_rows
+    return table_rows(sf_dir, "documents", default=10_000)
 
 
 def shuffle_buckets(n_rows: int, rows_per_bucket: int = 2000,
@@ -416,6 +410,15 @@ def _minhash_candidate_pairs(sf_dir: str, num_hashes: int = 64,
     key: most LSH keys are singletons and a per-key map_groups would pay
     a python call each)."""
     from larbin_ray.pipelines import pool_size
+    if bands < 1 or num_hashes // bands < 1:
+        # a zero rows_per_band degenerates every band key to a constant
+        # and candidate emission goes all-pairs O(N^2).  UNEVEN splits
+        # are fine: band b covers lanes [b*rpb, (b+1)*rpb), tail lanes
+        # unused (test_minhash_uneven_banding pins path parity).
+        raise ValueError(
+            f"bands={bands} exceeds num_hashes={num_hashes}: zero hash "
+            "rows per band degenerates every band key to a constant "
+            "(all-pairs O(N^2) candidate emission)")
     rows_per_band = num_hashes // bands
     n_buckets = shuffle_buckets(_doc_rows(sf_dir) * bands)
     pool = concurrency or pool_size()
@@ -505,6 +508,15 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.7,
     import ray
     from larbin_ray.pipelines.reduce import task_parquet_exchange
 
+    if bands < 1 or num_hashes // bands < 1:
+        # same contract as _minhash_candidate_pairs — guard HERE too so
+        # the small-corpus task path rejects degenerate band configs.
+        # (UNEVEN splits are supported: band b covers lanes
+        # [b*rpb, (b+1)*rpb), tail lanes unused — parity-tested.)
+        raise ValueError(
+            f"bands={bands} exceeds num_hashes={num_hashes}: zero hash "
+            "rows per band degenerates every band key to a constant "
+            "(all-pairs O(N^2) candidate emission)")
     n_docs = _doc_rows(sf_dir)
     use_tasks = (force_path == "tasks" or
                  (force_path is None and n_docs <= TASK_DEDUP_MAX_DOCS))
@@ -866,6 +878,13 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     doc -> groupby(bucket) vectorized pair emission -> groupby(pair)
     dedupe (a pair can match in several chunks; Min folds the copies).
     The driver sees only the final pair list."""
+    if not 0 <= max_hamming <= 3:
+        # pigeonhole over 4 chunks covers distance <= 3; a larger radius
+        # needs max_hamming+1 chunks — without this guard pairs whose
+        # differing bits span all 4 chunks would be SILENTLY dropped
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4x16-bit chunk bucketing "
+            "is complete only for hamming <= 3")
     n_buckets = shuffle_buckets(_doc_rows(sf_dir) * 4)
     sigs = simhash_signatures(sf_dir)
     chunked = sigs.map_batches(
@@ -967,6 +986,14 @@ def curate_documents(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
         out = hash_reduce(ds.map_batches(score, batch_format="pandas"),
                           ["h"], per_bucket,
                           shuffle_buckets(n_docs)).to_pandas()
+        if out.empty:
+            # map_groups over an all-empty stream loses the column
+            # schema (same guard as the sibling pair pipelines)
+            return pd.DataFrame({
+                "doc_id": pd.array([], dtype="int64"),
+                "n_tokens": pd.array([], dtype="int64"),
+                "stop_ratio": pd.array([], dtype="float64"),
+                "keep_reason": pd.array([], dtype=object)})
         return out.sort_values("doc_id").reset_index(drop=True)
 
     scored = ds.map_batches(score, batch_format="pandas").materialize()

@@ -403,3 +403,56 @@ def test_dedup_clusters_empty_pair_list(ray_session):
     assert got.empty and list(got.columns) == ["doc_id", "cluster_id"]
     got_e = embedding_dup_clusters(SF, threshold=1.5)
     assert got_e.empty and list(got_e.columns) == ["vec_id", "cluster_id"]
+
+
+def test_parameter_guards_and_empty_cogroup(ray_session):
+    """r5 review findings: degenerate LSH parameters must raise instead
+    of silently emitting incomplete (simhash radius > pigeonhole bound)
+    or quadratic (zero rows per band) candidate sets; an all-filtered
+    curate cogroup returns an empty TYPED frame instead of KeyError on
+    the schema-less map_groups output."""
+    from larbin_ray.pipelines.textops import (curate_documents,
+                                              minhash_dedup,
+                                              simhash_dup_pairs)
+
+    with pytest.raises(ValueError, match="hamming"):
+        simhash_dup_pairs(SF, max_hamming=4)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dedup(SF, num_hashes=32, bands=64)
+
+    out = curate_documents(SF, min_tokens=10**9, force_path="cogroup")
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_tokens", "stop_ratio",
+                                 "keep_reason"]
+
+
+def test_tumbling_window_floors_pre_epoch(ray_session, tmp_path):
+    """Window assignment is FLOOR division (the SQL oracle's floor()
+    over double division): a pre-1970 timestamp lands in the window
+    BELOW zero, not in window 0 (arrow int division truncates toward
+    zero — r5 review finding)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from larbin_ray.pipelines.relational import events_tumbling_window
+
+    ts = pa.array([-1_800_000_000, -3_600_000_001, 1_800_000_000, 0],
+                  pa.timestamp("us"))
+    tbl = pa.table({"ts": ts,
+                    "event_type": pa.array(["a"] * 4),
+                    "value": pa.array([1.0, 2.0, 3.0, 4.0])})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (events_tumbling_window(str(tmp_path)).to_pandas()
+           .sort_values("window_start_us").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    ref = con.execute("""
+        SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+                   AS window_start_us,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert got["window_start_us"].min() == -7_200_000_000
